@@ -1,0 +1,94 @@
+"""Mask kernels vs torch oracles implementing the reference math."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from vlm_compression_tpu.ops import masks as M
+
+
+def torch_wanda_unstructured(metric_np, sparsity):
+    """Oracle: stable ascending sort per row, prune first int(cols*s) indices
+    (wanda_pruner.py:330-337)."""
+    t = torch.from_numpy(metric_np)
+    mask_pruned = torch.zeros_like(t, dtype=torch.bool)
+    idx = torch.sort(t, dim=-1, stable=True)[1][:, : int(t.shape[1] * sparsity)]
+    mask_pruned.scatter_(1, idx, True)
+    return (~mask_pruned).numpy()
+
+
+def torch_nm(metric_np, n, m):
+    t = torch.from_numpy(metric_np)
+    mask_pruned = torch.zeros_like(t, dtype=torch.bool)
+    for ii in range(t.shape[1]):
+        if ii % m == 0:
+            tmp = t[:, ii:ii + m].float()
+            mask_pruned.scatter_(1, ii + torch.topk(tmp, n, dim=1, largest=False)[1], True)
+    return (~mask_pruned).numpy()
+
+
+@pytest.mark.parametrize("sparsity", [0.0, 0.25, 0.5, 0.77])
+def test_unstructured_matches_torch(sparsity):
+    rng = np.random.default_rng(0)
+    metric = rng.standard_normal((16, 64)).astype(np.float32)
+    got = np.asarray(M.unstructured_mask(jnp.asarray(metric), sparsity))
+    want = torch_wanda_unstructured(metric, sparsity)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_unstructured_ties_match_torch():
+    # heavy ties: quantized metric exercises the stable-sort tie-breaking
+    rng = np.random.default_rng(1)
+    metric = (rng.integers(0, 4, (8, 32))).astype(np.float32)
+    got = np.asarray(M.unstructured_mask(jnp.asarray(metric), 0.5))
+    want = torch_wanda_unstructured(metric, 0.5)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n,m", [(2, 4), (4, 8), (1, 4)])
+def test_nm_matches_torch(n, m):
+    rng = np.random.default_rng(2)
+    metric = rng.standard_normal((12, 64)).astype(np.float32)
+    got = np.asarray(M.nm_structured_mask(jnp.asarray(metric), n, m))
+    want = torch_nm(metric, n, m)
+    np.testing.assert_array_equal(got, want)
+    # density is exactly 1 - n/m
+    assert abs(float(M.mask_density(jnp.asarray(got))) - (1 - n / m)) < 1e-6
+
+
+def test_nm_ties_deterministic_lowest_index():
+    """Tie-breaking policy: stable, lowest index pruned first.
+
+    (torch's topk tie order is implementation-defined and differs between
+    CPU/CUDA, so we pin our own deterministic semantics; ties only matter at
+    exact float equality of importance scores.)
+    """
+    metric = np.array([[1.0, 1.0, 1.0, 1.0, 0.0, 2.0, 0.0, 2.0]], np.float32)
+    got = np.asarray(M.nm_structured_mask(jnp.asarray(metric), 2, 4))
+    want = np.array([[False, False, True, True, False, True, False, True]])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wanda_metric():
+    rng = np.random.default_rng(4)
+    w = rng.standard_normal((8, 16)).astype(np.float32)
+    s = np.abs(rng.standard_normal(16)).astype(np.float32)
+    got = np.asarray(M.wanda_metric(jnp.asarray(w), jnp.asarray(s)))
+    want = np.abs(w) * np.sqrt(s)[None, :]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_global_threshold_mask_density():
+    rng = np.random.default_rng(5)
+    metric = rng.standard_normal((32, 32)).astype(np.float32)
+    mask = np.asarray(M.global_threshold_mask(jnp.asarray(metric), 0.5))
+    assert mask.sum() == 32 * 32 - int(32 * 32 * 0.5)
+
+
+def test_apply_mask_dtype():
+    w = jnp.ones((4, 4), jnp.bfloat16)
+    mask = jnp.asarray(np.eye(4, dtype=bool))
+    out = M.apply_mask(w, mask)
+    assert out.dtype == jnp.bfloat16
+    assert float(out.sum()) == 4.0

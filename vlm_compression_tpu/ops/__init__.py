@@ -1,0 +1,27 @@
+"""Device kernels and pure-functional compute primitives.
+
+Layout convention: these ops work in **unit-major layout** ``(units, in)``
+(= torch's ``weight`` layout, units = output features) because the pruning
+math is defined per output unit.  Model kernels are stored ``(in, units)``
+(Flax convention); pruners transpose at the boundary — mask computation is
+once-per-layer so the transposes are free compared to calibration forwards.
+"""
+
+from vlm_compression_tpu.ops.stats import (  # noqa: F401
+    CalibStats,
+    init_calib_stats,
+    update_calib_stats,
+    finalize_hessian,
+)
+from vlm_compression_tpu.ops.masks import (  # noqa: F401
+    wanda_metric,
+    unstructured_mask,
+    nm_structured_mask,
+    mask_density,
+)
+from vlm_compression_tpu.ops.sparsegpt import sparsegpt_prune  # noqa: F401
+from vlm_compression_tpu.ops.dsnot import dsnot_refine_mask  # noqa: F401
+from vlm_compression_tpu.ops.masked_linear import (  # noqa: F401
+    masked_matmul,
+    sparse_lora_matmul,
+)

@@ -1,0 +1,85 @@
+"""Mask extraction kernels (unstructured per-unit top-k, n:m structured).
+
+Semantics match the reference bit-for-bit at fp32 (wanda_pruner.py:323-341):
+  * metrics are `(units, in)` (unit-major layout, see ops/__init__);
+  * masks are boolean with **True = keep**;
+  * unstructured: per output unit, prune the `int(in * sparsity)` columns
+    with the smallest metric, ties broken by *stable ascending sort* —
+    i.e. among equal metrics the lowest column indices are pruned first
+    (torch.sort(stable=True) then take the first k indices);
+  * n:m: within every group of `m` consecutive input columns prune the `n`
+    smallest (torch.topk(largest=False): lowest indices win ties).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def wanda_metric(weight_um: jnp.ndarray, scaler_row: jnp.ndarray) -> jnp.ndarray:
+    """|W| · sqrt(E‖X_col‖²) — Wanda importance (wanda_pruner.py:319)."""
+    return jnp.abs(weight_um.astype(jnp.float32)) * jnp.sqrt(scaler_row)[None, :]
+
+
+def _stable_rank_ascending(metric: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """rank[i] = position of element i in a stable ascending sort along axis."""
+    order = jnp.argsort(metric, axis=axis, stable=True)
+    return jnp.argsort(order, axis=axis, stable=True)
+
+
+def unstructured_mask(metric: jnp.ndarray, sparsity, *,
+                      rounding: str = "floor") -> jnp.ndarray:
+    """Per-unit unstructured keep-mask.
+
+    metric   : (units, in) importance, fp32.
+    sparsity : scalar in [0, 1] (python or traced).
+    rounding : 'floor' (Wanda/SparseGPT: int(in*s)) or 'round' (DSnoT).
+    """
+    n_in = metric.shape[-1]
+    if rounding == "floor":
+        k = jnp.floor(n_in * jnp.asarray(sparsity, jnp.float32)).astype(jnp.int32)
+    elif rounding == "round":
+        # torch's round() is banker's rounding on .5 — jnp.round matches.
+        k = jnp.round(n_in * jnp.asarray(sparsity, jnp.float32)).astype(jnp.int32)
+    else:
+        raise ValueError(rounding)
+    rank = _stable_rank_ascending(metric, axis=-1)
+    return rank >= k  # True = keep
+
+
+def nm_structured_mask(metric: jnp.ndarray, n: int, m: int) -> jnp.ndarray:
+    """n-of-m structured keep-mask along the input dim (axis -1).
+
+    Requires in % m == 0 (true for every transformer linear here).
+    """
+    units, n_in = metric.shape
+    assert n_in % m == 0, f"in={n_in} not divisible by m={m}"
+    g = metric.reshape(units, n_in // m, m)
+    rank = _stable_rank_ascending(g, axis=-1)
+    keep = rank >= n
+    return keep.reshape(units, n_in)
+
+
+def global_threshold_mask(metric: jnp.ndarray, sparsity: float) -> jnp.ndarray:
+    """Keep-mask pruning the globally-smallest fraction of entries (flat)."""
+    flat = metric.reshape(-1)
+    k = jnp.floor(flat.shape[0] * jnp.asarray(sparsity, jnp.float32)).astype(jnp.int32)
+    rank = _stable_rank_ascending(flat, axis=0)
+    return (rank >= k).reshape(metric.shape)
+
+
+def mask_density(mask: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of kept weights (reference check_sparsity audits)."""
+    return jnp.mean(mask.astype(jnp.float32))
+
+
+def topk_per_group_threshold(metric: jnp.ndarray, sparsity: float) -> jnp.ndarray:
+    """Flat per-tensor threshold mask: prune the `int(numel*s)` smallest of the
+    whole tensor (the ViT wanda per-layer flat variant, wanda_pruner.py:682-683)."""
+    return global_threshold_mask(metric, sparsity)
+
+
+def apply_mask(weight: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Zero pruned weights, preserving dtype."""
+    return jnp.where(mask, weight, jnp.zeros((), weight.dtype))

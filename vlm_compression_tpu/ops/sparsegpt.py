@@ -1,0 +1,206 @@
+"""SparseGPT: OBS-style pruning with weight update, as one jitted program.
+
+Re-derivation of the reference's ``SparseGPT.fasterprune``
+(sparsegpt_pruner.py:81-215) for TPU:
+
+  * Hessian hygiene (dead columns, ±inf clamping to quantiles) — vectorized.
+  * Damped Cholesky with retry — a bounded `lax.while_loop` that adds
+    `damp·I` until the factorization is NaN-free (jnp.linalg.cholesky
+    signals non-PSD with NaNs rather than raising, which makes the
+    reference's try/except loop a clean device-side loop).
+  * `cholesky_inverse` — `cho_solve` against the identity.
+  * The blocked column sweep: `lax.scan` over 128-column blocks; inside a
+    block the inherently-serial column recursion runs as `lax.fori_loop`
+    with all rows updated vectorized (the row dimension keeps the VPU/MXU
+    busy while the column recursion is serial — see SURVEY.md §7 hard
+    parts #1).  The trailing cross-block update `W[:, i2:] -= Err·Hinv` is
+    one masked MXU matmul per block.
+
+Layout: unit-major ``(units, in)``; the Hessian is ``(in, in)``.
+All math fp32 (matches reference `.float()` casts).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _clamp_infs(h: jnp.ndarray) -> jnp.ndarray:
+    """Clamp ±inf entries to the 99.9% / 0.1% quantiles
+    (sparsegpt_pruner.py:101-109,133-141)."""
+    pos = jnp.isinf(h) & (h > 0)
+    neg = jnp.isinf(h) & (h < 0)
+
+    def fix(h, mask, q):
+        val = jnp.quantile(h, q)
+        return jnp.where(mask, val, h)
+
+    h = jax.lax.cond(jnp.any(pos), lambda x: fix(x, pos, 0.999), lambda x: x, h)
+    h = jax.lax.cond(jnp.any(neg), lambda x: fix(x, neg, 0.001), lambda x: x, h)
+    return h
+
+
+def damped_cholesky(h: jnp.ndarray, damp: jnp.ndarray, max_tries: int = 32) -> jnp.ndarray:
+    """Lower Cholesky factor, adding damp·I until NaN-free (bounded retries)."""
+    eye = jnp.eye(h.shape[0], dtype=h.dtype)
+
+    def attempt(hh):
+        return jnp.linalg.cholesky(hh)
+
+    def cond(carry):
+        _, chol, it = carry
+        return jnp.any(jnp.isnan(chol)) & (it < max_tries)
+
+    def body(carry):
+        hh, _, it = carry
+        hh = hh + damp * eye
+        return hh, attempt(hh), it + 1
+
+    _, chol, _ = jax.lax.while_loop(cond, body, (h, attempt(h), jnp.int32(0)))
+    return chol
+
+
+def _cholesky_inverse(chol_lower: jnp.ndarray) -> jnp.ndarray:
+    eye = jnp.eye(chol_lower.shape[0], dtype=chol_lower.dtype)
+    return jax.scipy.linalg.cho_solve((chol_lower, True), eye)
+
+
+class SparseGPTResult(NamedTuple):
+    weight: jnp.ndarray      # (units, in) updated weights, pruned entries zero
+    keep_mask: jnp.ndarray   # (units, in) bool, True = keep
+    losses: jnp.ndarray      # (units,) accumulated OBS losses
+    importance: jnp.ndarray  # () scalar mean |W²/diag(Hinv)²| (reference logs this)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("prune_n", "prune_m", "blocksize", "rows_static"),
+)
+def sparsegpt_prune(
+    weight_um: jnp.ndarray,
+    hessian: jnp.ndarray,
+    sparsity,
+    prune_n: int = 0,
+    prune_m: int = 0,
+    blocksize: int = 128,
+    percdamp: float = 0.01,
+    rows_static: Optional[int] = None,
+) -> SparseGPTResult:
+    """Prune + OBS-update one linear layer.
+
+    weight_um : (units, in) weights (any float dtype; fp32 internally).
+    hessian   : (in, in) = (2/n) Σ XᵀX from calibration.
+    sparsity  : unstructured fraction pruned (ignored when prune_n > 0).
+    """
+    W = weight_um.astype(jnp.float32)
+    H = hessian.astype(jnp.float32)
+    units, cols = W.shape
+    out_dtype = weight_um.dtype
+
+    # --- dead columns ----------------------------------------------------
+    diag = jnp.diagonal(H)
+    dead = diag == 0
+    H = H + jnp.diag(jnp.where(dead, 1.0, 0.0))
+    W = jnp.where(dead[None, :], 0.0, W)
+
+    # --- factorize H, invert, factorize Hinv ----------------------------
+    H = _clamp_infs(H)
+    damp = percdamp * jnp.mean(jnp.diagonal(H))
+    L = damped_cholesky(H, damp)
+    Hinv_full = _cholesky_inverse(L)
+
+    Hinv_full = _clamp_infs(Hinv_full)
+    damp2 = percdamp * jnp.mean(jnp.abs(jnp.diagonal(Hinv_full)))
+    L2 = damped_cholesky(Hinv_full, damp2)
+    Hinv = L2.T  # upper factor, as torch.linalg.cholesky(·, upper=True)
+
+    hinv_diag = jnp.diagonal(Hinv)
+    importance = jnp.mean(jnp.abs(W * W / (hinv_diag[None, :] ** 2)))
+
+    # --- blocked column sweep -------------------------------------------
+    if cols % blocksize != 0:
+        # Real transformer widths are all multiples of 128; fall back to one
+        # block spanning everything for odd (test-sized) shapes.
+        blocksize = cols
+    nblocks = cols // blocksize
+    B = blocksize
+    sparsity = jnp.asarray(sparsity, jnp.float32)
+    col_ids = jnp.arange(cols)
+
+    def block_step(carry, b):
+        W, losses = carry
+        i1 = b * B
+        W1 = jax.lax.dynamic_slice(W, (0, i1), (units, B))
+        Hinv1 = jax.lax.dynamic_slice(Hinv, (i1, i1), (B, B))
+        d1 = jnp.diagonal(Hinv1)
+
+        if prune_n == 0:
+            tmp = W1 * W1 / (d1[None, :] ** 2)
+            flat = jnp.sort(tmp.reshape(-1))
+            k = jnp.floor(tmp.size * sparsity).astype(jnp.int32)
+            thresh = flat[jnp.clip(k, 0, tmp.size - 1)]
+            prune1 = tmp <= thresh  # reference: `tmp <= thresh` (ties pruned)
+        else:
+            prune1 = jnp.zeros((units, B), bool)
+
+        bi = jnp.arange(B)
+
+        def col_body(i, c):
+            W1, Q1, Err1, L1, prune1 = c
+            w = W1[:, i]
+            d = Hinv1[i, i]
+
+            if prune_n != 0:
+                def set_group(prune1):
+                    grp = jax.lax.dynamic_slice(W1, (0, i), (units, prune_m))
+                    dg = jax.lax.dynamic_slice(d1, (i,), (prune_m,))
+                    met = grp * grp / (dg[None, :] ** 2)
+                    order = jnp.argsort(met, axis=-1, stable=True)
+                    rank = jnp.argsort(order, axis=-1, stable=True)
+                    gmask = rank < prune_n
+                    return jax.lax.dynamic_update_slice(prune1, gmask, (0, i))
+
+                prune1 = jax.lax.cond(i % prune_m == 0, set_group,
+                                      lambda p: p, prune1)
+
+            q = jnp.where(prune1[:, i], 0.0, w)
+            Q1 = Q1.at[:, i].set(q)
+            L1 = L1.at[:, i].set((w - q) ** 2 / (d * d))
+            err = (w - q) / d
+            row = jnp.where(bi >= i, Hinv1[i, :], 0.0)
+            W1 = W1 - err[:, None] * row[None, :]
+            Err1 = Err1.at[:, i].set(err)
+            return (W1, Q1, Err1, L1, prune1)
+
+        z = jnp.zeros((units, B), jnp.float32)
+        W1, Q1, Err1, L1, prune1 = jax.lax.fori_loop(
+            0, B, col_body, (W1, z, z, z, prune1)
+        )
+
+        # write back the quantized block
+        W = jax.lax.dynamic_update_slice(W, Q1, (0, i1))
+        losses = losses + jnp.sum(L1, axis=1) / 2.0
+
+        # trailing update: W[:, i2:] -= Err1 @ Hinv[i1:i2, i2:]
+        hrows = jax.lax.dynamic_slice(Hinv, (i1, 0), (B, cols))
+        hrows = jnp.where(col_ids[None, :] >= i1 + B, hrows, 0.0)
+        W = W - jnp.dot(Err1, hrows, preferred_element_type=jnp.float32)
+
+        return (W, losses), prune1
+
+    (W, losses), prune_blocks = jax.lax.scan(
+        block_step, (W, jnp.zeros((units,), jnp.float32)), jnp.arange(nblocks)
+    )
+    # (nblocks, units, B) → (units, cols)
+    prune_mask = jnp.moveaxis(prune_blocks, 0, 1).reshape(units, cols)
+
+    return SparseGPTResult(
+        weight=W.astype(out_dtype),
+        keep_mask=~prune_mask,
+        losses=losses,
+        importance=importance,
+    )

@@ -1,0 +1,126 @@
+"""Device mesh + sharding rules.
+
+The reference scales with DDP over NCCL only (SURVEY.md §2.9;
+``runner_base.py:104-108``).  Here parallelism is declarative: one
+`jax.sharding.Mesh` with named axes
+
+    data   — batch (data parallel; DDP equivalent; grad psum via pjit)
+    model  — tensor parallel for the big linears (Megatron-style column/row
+             splits of attention heads and FFN), rides ICI
+
+and every array gets a `NamedSharding` derived from path-pattern rules.
+Adding fsdp/pipeline axes later only means new rules — the train step stays
+a single jitted SPMD program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    data: int = -1  # -1 = all remaining devices
+    model: int = 1
+
+    def axis_names(self) -> Tuple[str, ...]:
+        return ("data", "model")
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    model = max(1, cfg.model)
+    data = cfg.data if cfg.data > 0 else n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules: (path regex, PartitionSpec) — first match wins.
+# Kernels are stored (in_features, out_features) so "column parallel" =
+# shard axis 1 on "model", "row parallel" = shard axis 0 on "model".
+# ---------------------------------------------------------------------------
+
+# Megatron split for a transformer block: qkv/out-proj + FFN in/out.
+DEFAULT_RULES: Sequence[Tuple[str, P]] = (
+    # attention projections: q/k/v column-parallel, output row-parallel
+    (r".*(\bq\b|\bk\b|\bv\b|query|key|value|qkv).*kernel", P(None, "model")),
+    (r".*(\bo\b|out_proj|proj|dense_out|attn_out).*kernel", P("model", None)),
+    # FFN: up/gate column-parallel, down row-parallel
+    (r".*(wi_0|wi_1|wi\b|fc1|gate|up_proj).*kernel", P(None, "model")),
+    (r".*(wo\b|fc2|down_proj).*kernel", P("model", None)),
+    # embeddings: shard vocab/feature dim on model axis
+    (r".*embedding", P("model", None)),
+    # everything else replicated
+    (r".*", P()),
+)
+
+REPLICATED_RULES: Sequence[Tuple[str, P]] = ((r".*", P()),)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_partition_spec(params, rules: Sequence[Tuple[str, P]] = DEFAULT_RULES):
+    """Pytree of PartitionSpecs matching `params` by path regex.
+
+    A spec only applies if every named axis size divides the corresponding
+    array dimension; otherwise the leaf falls back to replication (keeps tiny
+    test models and odd head counts compiling).
+    """
+
+    def assign(path, leaf):
+        s = _path_str(path)
+        for pat, spec in rules:
+            if re.fullmatch(pat, s) or re.search(pat, s):
+                return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def _spec_fits(spec: P, shape, mesh: Mesh) -> bool:
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        axes = (axis,) if isinstance(axis, str) else tuple(axis)
+        size = int(np.prod([mesh.shape[a] for a in axes]))
+        if dim >= len(shape) or shape[dim] % size != 0:
+            return False
+    return True
+
+
+def shard_params(params, mesh: Mesh, rules: Sequence[Tuple[str, P]] = DEFAULT_RULES):
+    """Device-put every leaf with its NamedSharding (replication fallback)."""
+    specs = param_partition_spec(params, rules)
+
+    def place(leaf, spec):
+        if hasattr(leaf, "shape") and not _spec_fits(spec, leaf.shape, mesh):
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, params, specs)
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding for input arrays."""
+    return NamedSharding(mesh, P("data"))
