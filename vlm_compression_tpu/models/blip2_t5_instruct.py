@@ -1,0 +1,105 @@
+"""InstructBLIP (FlanT5) — the flagship composition.
+
+Re-design of ``lavis/models/blip2_models/blip2_t5_instruct.py:136-221``:
+ViT → ln_vision → Q-Former(queries + instruction) → t5_proj → prepend to
+T5 token embeds → T5 encoder/decoder → label CE.
+
+The reference threads ``vit_dense`` / ``llm_dense`` flags for the
+cross-modality-KD teacher; here each tower takes a static ``mode``:
+``forward(..., vit_mode="dense", llm_mode="dense")`` is the teacher.
+Tokenization happens in the data layer; the model consumes ids/masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vlm_compression_tpu.common.registry import registry
+from vlm_compression_tpu.models.eva_vit import EvaViT, EvaViTConfig
+from vlm_compression_tpu.models.layers import SparseLinear
+from vlm_compression_tpu.models.qformer import QFormer, QFormerConfig
+from vlm_compression_tpu.models.t5 import (
+    T5Config,
+    T5ForConditionalGeneration,
+    cross_entropy_loss,
+    shift_right,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Blip2T5InstructConfig:
+    vit: EvaViTConfig = dataclasses.field(default_factory=EvaViTConfig)
+    qformer: QFormerConfig = dataclasses.field(default_factory=QFormerConfig)
+    t5: T5Config = dataclasses.field(default_factory=T5Config)
+    max_txt_len: int = 128            # blip2_t5_instruct.py:52
+    max_output_txt_len: int = 256     # blip2_t5_instruct.py:53
+
+    @staticmethod
+    def flan_t5_xl(**kw) -> "Blip2T5InstructConfig":
+        return Blip2T5InstructConfig(**kw)
+
+    @staticmethod
+    def tiny(**kw) -> "Blip2T5InstructConfig":
+        d = dict(
+            vit=EvaViTConfig.tiny(),
+            qformer=QFormerConfig.tiny(),
+            t5=T5Config.tiny(d_model=16),
+        )
+        d.update(kw)
+        return Blip2T5InstructConfig(**d)
+
+
+@registry.register_model("blip2_t5_instruct")
+class Blip2T5Instruct(nn.Module):
+    cfg: Blip2T5InstructConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.visual_encoder = EvaViT(cfg.vit, name="visual_encoder")
+        self.ln_vision = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                      name="ln_vision")
+        self.qformer = QFormer(cfg.qformer, name="qformer")
+        self.t5_proj = SparseLinear(cfg.t5.d_model, param_dtype=jnp.float32,
+                                    name="t5_proj")
+        self.t5_model = T5ForConditionalGeneration(cfg.t5, name="t5_model")
+
+    def encode_image(self, image, vit_mode="masked",
+                     qformer_input_ids=None, qformer_attention_mask=None,
+                     qformer_mode="masked"):
+        """Image (+instruction) → T5-space prefix embeddings (b, 32, d_model)."""
+        cfg = self.cfg
+        feats = self.visual_encoder(image, mode=vit_mode)
+        feats = self.ln_vision(feats.astype(jnp.float32))
+        q_out = self.qformer(feats, qformer_input_ids, qformer_attention_mask,
+                             mode=qformer_mode)
+        q_out = q_out[:, : cfg.qformer.num_query_tokens]
+        proj = self.t5_proj(q_out.astype(jnp.float32), mode="dense")
+        return proj.astype(jnp.dtype(cfg.t5.dtype))
+
+    def __call__(self, image, input_ids, attention_mask, labels,
+                 qformer_input_ids=None, qformer_attention_mask=None,
+                 vit_mode: str = "masked", llm_mode: str = "masked",
+                 qformer_mode: str = "masked"):
+        cfg = self.cfg
+        prefix = self.encode_image(image, vit_mode, qformer_input_ids,
+                                   qformer_attention_mask, qformer_mode)
+        b, nq, _ = prefix.shape
+
+        text_embeds = self.t5_model.embed_tokens(input_ids)
+        inputs_embeds = jnp.concatenate([prefix, text_embeds], axis=1)
+        enc_mask = jnp.concatenate(
+            [jnp.ones((b, nq), attention_mask.dtype), attention_mask], axis=1)
+
+        dec_input_ids = shift_right(labels, cfg.t5.decoder_start_token_id,
+                                    cfg.t5.pad_token_id)
+        dec_mask = (labels != -100).astype(enc_mask.dtype)
+
+        enc = self.t5_model.encode(inputs_embeds=inputs_embeds,
+                                   attention_mask=enc_mask, mode=llm_mode)
+        logits = self.t5_model.decode(dec_input_ids, enc, dec_mask, enc_mask,
+                                      mode=llm_mode)
+        loss = cross_entropy_loss(logits, labels)
+        return {"loss": loss, "logits": logits}

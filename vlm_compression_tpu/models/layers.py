@@ -1,0 +1,108 @@
+"""SparseLinear — the one linear every tower is built from.
+
+TPU-native replacement for the reference's vendored-PEFT ``lora.Linear``
+with its ``mask`` buffer and ``dense``/``sparse`` runtime flags
+(lavis/peft/src/peft/tuners/lora.py:289-394).  Differences by design:
+
+  * the mask is a bool array in the ``masks`` variable collection (pytree),
+    not a module buffer — pruners rewrite the collection functionally;
+  * LoRA factors live in the ``lora`` collection; zero-rank layers simply
+    don't have them;
+  * the forward mode is a static argument, so teacher (dense) and student
+    (sparse) paths are two jit specializations of the same function rather
+    than per-module boolean threading;
+  * calibration capture: when the ``calib`` collection is marked mutable,
+    the layer sows its input activations for the calibration engine —
+    replacing the reference's forward hooks + Catcher exception trick
+    (wanda_pruner.py:238-268).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vlm_compression_tpu.ops.masked_linear import (
+    lora_matmul_ref,
+    masked_matmul,
+    sparse_lora_matmul,
+)
+
+# forward modes
+Mode = str
+DENSE = "dense"
+MASKED = "masked"
+SPARSE_LORA = "sparse_lora"
+LORA = "lora"
+_MODES = (DENSE, MASKED, SPARSE_LORA, LORA)
+
+
+class SparseLinear(nn.Module):
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None        # compute dtype (None: infer)
+    param_dtype: jnp.dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x, mode: Mode = MASKED):
+        if mode not in _MODES:
+            raise ValueError(f"mode {mode!r} not in {_MODES}")
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_features, self.features),
+            self.param_dtype)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       self.param_dtype)
+            if self.use_bias else None
+        )
+
+        # calibration capture: engine runs apply(..., mutable=["calib"])
+        if self.is_mutable_collection("calib"):
+            self.sow("calib", "input", x)
+
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        k = kernel.astype(dtype)
+
+        if mode == DENSE:
+            y = x @ k
+        else:
+            mask = self.variable(
+                "masks", "mask",
+                lambda: jnp.ones((in_features, self.features), bool)).value
+            if mode == MASKED or self.lora_rank == 0:
+                y = masked_matmul(x, k, mask)
+            else:
+                scale = self.lora_alpha / self.lora_rank
+
+                # reference init: A kaiming-uniform, B zeros (lora.py resets);
+                # B=0 makes the adapter a no-op at step 0.
+                def _init_a():
+                    if self.has_rng("params"):
+                        return nn.initializers.he_uniform()(
+                            self.make_rng("params"),
+                            (in_features, self.lora_rank), self.param_dtype)
+                    return jnp.zeros((in_features, self.lora_rank),
+                                     self.param_dtype)
+
+                lora_a = self.variable("lora", "lora_a", _init_a).value
+                lora_b = self.variable(
+                    "lora", "lora_b",
+                    lambda: jnp.zeros((self.lora_rank, self.features),
+                                      self.param_dtype)).value
+                a = lora_a.astype(dtype)
+                b = lora_b.astype(dtype)
+                if mode == SPARSE_LORA:
+                    y = sparse_lora_matmul(x, k, mask, a, b, scale)
+                else:
+                    y = lora_matmul_ref(x, k, mask, a, b, scale)
+
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        return y
