@@ -1,0 +1,208 @@
+"""Pruner integration tests on tiny towers, with an independent oracle for
+the layerwise engine (stats → mask → replay) on the T5 encoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlm_compression_tpu.compression import load_pruner
+from vlm_compression_tpu.compression.pruners import FlaxModel
+from vlm_compression_tpu.models.blip2_t5_instruct import (
+    Blip2T5Instruct,
+    Blip2T5InstructConfig,
+)
+from vlm_compression_tpu.models.eva_vit import EvaViT, EvaViTConfig
+from vlm_compression_tpu.models.t5 import (
+    T5Block,
+    T5Config,
+    T5ForConditionalGeneration,
+    T5RelPosBias,
+    extend_mask,
+    shift_right,
+)
+from vlm_compression_tpu.ops.masks import unstructured_mask, wanda_metric
+from vlm_compression_tpu.ops.stats import init_calib_stats, update_calib_stats
+
+
+def _t5_setup(rng, fp32=True):
+    cfg = T5Config.tiny(param_dtype="float32", dtype="float32")
+    module = T5ForConditionalGeneration(cfg)
+    ids = jax.random.randint(rng, (4, 6), 1, cfg.vocab_size)
+    mask = jnp.ones((4, 6), jnp.int32)
+    labels = jax.random.randint(rng, (4, 5), 1, cfg.vocab_size)
+    variables = module.init(rng, ids, mask, shift_right(labels))
+    batches = [
+        {"input_ids": ids, "attention_mask": mask, "labels": labels},
+        {"input_ids": ids + 1, "attention_mask": mask, "labels": labels},
+    ]
+    return cfg, module, variables, batches
+
+
+def _mask_leaves(masks):
+    out = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            if k == "mask":
+                out[prefix] = v
+            else:
+                walk(v, prefix + (k,))
+
+    walk(masks, ())
+    return out
+
+
+def test_t5_wanda_uniform_density():
+    rng = jax.random.PRNGKey(0)
+    cfg, module, variables, batches = _t5_setup(rng)
+    pruner = load_pruner("t5_wanda_pruner", FlaxModel(module, variables),
+                         batches, prune_spec="2-0.5-1.0-1.0", num_samples=8)
+    model, sdict = pruner.prune(lora_model=True)
+    leaves = _mask_leaves(model.variables["masks"])
+    # every encoder/decoder linear pruned to exactly int(in*0.5) per unit
+    pruned_any = 0
+    for path, m in leaves.items():
+        if path[0] in ("encoder", "decoder"):
+            per_unit = np.asarray(m).sum(axis=0)  # kept per output unit
+            expected = m.shape[0] - int(m.shape[0] * 0.5)
+            assert (per_unit == expected).all(), path
+            pruned_any += 1
+    assert pruned_any >= 2 * (4 + 3 + 1 + 3)  # blocks × linears
+    # lm_head untouched (not part of the sweep)
+    assert np.asarray(leaves[("lm_head",)]).all()
+    # weights untouched in the lora path
+    assert sdict is None
+
+
+def test_t5_wanda_block0_matches_oracle():
+    """Independent oracle: capture block-0 inputs directly, fold stats,
+    build masks with the ops — must equal the pruner's block-0 masks."""
+    rng = jax.random.PRNGKey(1)
+    cfg, module, variables, batches = _t5_setup(rng)
+    pruner = load_pruner("t5_wanda_pruner", FlaxModel(module, variables),
+                         batches, prune_spec="2-0.5-1.0-1.0", num_samples=8)
+    model, _ = pruner.prune(lora_model=True)
+
+    # oracle for encoder block 0
+    block = T5Block(cfg, is_decoder=False)
+    rel = T5RelPosBias(cfg, bidirectional=True)
+    enc_p = variables["params"]["encoder"]
+    bvars = {"params": enc_p["blocks_0"],
+             "masks": variables["masks"]["encoder"]["blocks_0"]}
+    stats = {}
+    for b in batches:
+        embeds = module.apply(
+            variables, b["input_ids"],
+            method=T5ForConditionalGeneration.embed_tokens)
+        bias = rel.apply({"params": enc_p["rel_bias"]},
+                         embeds.shape[1], embeds.shape[1])
+        bias = bias + extend_mask(b["attention_mask"])
+        _, aux = block.apply(bvars, embeds, self_bias=bias,
+                             mutable=["calib"])
+
+        def fold(node, prefix):
+            for k, v in node.items():
+                if k == "input":
+                    x = v[0]
+                    if prefix not in stats:
+                        stats[prefix] = init_calib_stats(x.shape[-1])
+                    stats[prefix] = update_calib_stats(
+                        stats[prefix], x, b["attention_mask"])
+                else:
+                    fold(v, prefix + (k,))
+
+        fold(aux["calib"], ())
+
+    got_masks = _mask_leaves(model.variables["masks"]["encoder"]["blocks_0"])
+    for path, keep_got in got_masks.items():
+        w = enc_p
+        for p in ("blocks_0",) + path:
+            w = w[p]
+        w = w["kernel"] if "kernel" in w else w
+        met = wanda_metric(w.T, stats[path].scaler_row)
+        keep_want = unstructured_mask(met, 0.5).T
+        np.testing.assert_array_equal(
+            np.asarray(keep_got), np.asarray(keep_want), err_msg=str(path))
+
+
+def test_t5_sparsegpt_updates_weights():
+    rng = jax.random.PRNGKey(2)
+    cfg, module, variables, batches = _t5_setup(rng)
+    pruner = load_pruner("t5_sparsegpt_pruner", FlaxModel(module, variables),
+                         batches, prune_spec="2-0.5-1.0-1.0", num_samples=8,
+                         blocksize=8)
+    model, _ = pruner.prune(lora_model=True)
+    w_old = variables["params"]["encoder"]["blocks_0"]["self_attn"]["q"]["kernel"]
+    w_new = model.variables["params"]["encoder"]["blocks_0"]["self_attn"]["q"]["kernel"]
+    assert not np.allclose(np.asarray(w_old), np.asarray(w_new))
+    # pruned entries are exactly zero in the updated kernel
+    keep = model.variables["masks"]["encoder"]["blocks_0"]["self_attn"]["q"]["mask"]
+    assert np.all(np.asarray(w_new)[~np.asarray(keep)] == 0)
+
+
+def test_t5_dsnot_nm_structure():
+    rng = jax.random.PRNGKey(3)
+    cfg, module, variables, batches = _t5_setup(rng)
+    pruner = load_pruner("t5_dsnot_pruner", FlaxModel(module, variables),
+                         batches, prune_spec="2-0.5-1.0-1.0", num_samples=8,
+                         prune_n=2, prune_m=4, max_cycle_time=0)
+    model, _ = pruner.prune(lora_model=True)
+    m = model.variables["masks"]["encoder"]["blocks_0"]["ffn"]["wi_0"]["mask"]
+    # cycles=0 → initial n:m mask: exactly 2 of 4 kept along input dim
+    km = np.asarray(m).T.reshape(m.shape[1], -1, 4)
+    assert (km.sum(-1) == 2).all()
+
+
+def test_vit_wanda_flat_threshold():
+    rng = jax.random.PRNGKey(4)
+    cfg = EvaViTConfig.tiny(param_dtype="float32", dtype="float32")
+    module = EvaViT(cfg)
+    img = jax.random.normal(rng, (4, 28, 28, 3))
+    variables = module.init(rng, img)
+    pruner = load_pruner("vit_wanda_pruner", FlaxModel(module, variables),
+                         [{"image": img}], prune_spec="2-0.5-1.0-1.0",
+                         num_samples=4)
+    model, _ = pruner.prune(lora_model=True)
+    m = model.variables["masks"]["blocks_0"]["attn"]["qkv"]["mask"]
+    dens = float(np.asarray(m).mean())
+    # flat value-threshold: density ≈ 0.5 but not exactly per-row
+    assert 0.4 < dens < 0.6
+    per_unit = np.asarray(m).sum(axis=0)
+    assert per_unit.std() > 0  # not per-unit-uniform → flat variant used
+
+
+def test_blipt5_joint_prune():
+    rng = jax.random.PRNGKey(5)
+    cfg = Blip2T5InstructConfig(
+        vit=EvaViTConfig.tiny(param_dtype="float32", dtype="float32"),
+        qformer=__import__("vlm_compression_tpu.models.qformer",
+                           fromlist=["QFormerConfig"]).QFormerConfig.tiny(
+                               dtype="float32"),
+        t5=T5Config.tiny(param_dtype="float32", dtype="float32"),
+    )
+    module = Blip2T5Instruct(cfg)
+    batch = dict(
+        image=jax.random.normal(rng, (2, 28, 28, 3)),
+        input_ids=jnp.ones((2, 6), jnp.int32),
+        attention_mask=jnp.ones((2, 6), jnp.int32),
+        labels=jax.random.randint(rng, (2, 4), 1, cfg.t5.vocab_size),
+    )
+    variables = module.init(rng, **batch)
+    pruner = load_pruner(
+        "blipt5_wanda_pruner", FlaxModel(module, variables), [batch],
+        t5_prune_spec="2-0.5-1.0-1.0", vit_prune_spec="2-0.5-1.0-1.0",
+        num_samples=2)
+    model, _ = pruner.prune(lora_model=True)
+    vit_mask = model.variables["masks"]["visual_encoder"]["blocks_0"]["attn"]["qkv"]["mask"]
+    t5_mask = model.variables["masks"]["t5_model"]["encoder"]["blocks_0"]["self_attn"]["q"]["mask"]
+    dec_mask = model.variables["masks"]["t5_model"]["decoder"]["blocks_1"]["cross_attn"]["v"]["mask"]
+    assert 0.3 < float(np.asarray(vit_mask).mean()) < 0.7
+    assert abs(float(np.asarray(t5_mask).mean()) - 0.5) < 0.01
+    assert abs(float(np.asarray(dec_mask).mean()) - 0.5) < 0.01
+    # model still runs with the masks and loss changes vs dense
+    out_m = module.apply(model.variables, **batch)
+    out_d = module.apply(model.variables, **batch, vit_mode="dense",
+                         llm_mode="dense")
+    assert np.isfinite(float(out_m["loss"]))
+    assert float(out_m["loss"]) != pytest.approx(float(out_d["loss"]), rel=1e-6)

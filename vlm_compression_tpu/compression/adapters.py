@@ -1,0 +1,194 @@
+"""Tower adapters binding concrete models to the calibration engine.
+
+Reference equivalents: ``prepare_calibration_input_encoder`` +
+per-module-to-process `_prune` loops (wanda_pruner.py:238-354 for T5,
+:583-693 for ViT, :983-1039 for the joint BLIP-T5 orchestration).
+
+An adapter owns the *block* application (module class + side-input
+plumbing); the *stem* — everything upstream of block 0 — is a closure
+provided by the pruner, which knows the concrete model composition.  This
+is where the calibration dataflow parity lives (wanda_pruner.py:941-967):
+in the LoRA path upstream towers run ``dense`` while a downstream tower is
+calibrated (the reference's ``vit_dense/llm_dense=True`` in
+`forward_to_cache` bypass masks+adapters); in the non-LoRA path weights
+are physically zeroed so upstream runs pruned either way.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+from vlm_compression_tpu.compression.calibrate import (
+    TowerAdapter,
+    _collect_captured,
+)
+from vlm_compression_tpu.models.eva_vit import EvaBlock, EvaViTConfig
+from vlm_compression_tpu.models.qformer import QFormerConfig, QFormerLayer
+from vlm_compression_tpu.models.t5 import (
+    T5Block,
+    T5Config,
+    T5RelPosBias,
+    causal_mask,
+    extend_mask,
+)
+
+
+def _jitted_block_apply(module, side_keys=()):
+    """One jitted apply shared by every block of identical structure."""
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("mode", "capture"))
+    def f(bvars, x, side, mode, capture):
+        kwargs = {k: side[k] for k in side_keys}
+        if capture:
+            out, aux = module.apply(bvars, x, mode=mode, mutable=["calib"],
+                                    **kwargs)
+            return out, _collect_captured(aux["calib"])
+        return module.apply(bvars, x, mode=mode, **kwargs), {}
+
+    return f
+
+
+def make_vit_adapter(cfg: EvaViTConfig,
+                     stem_fn: Callable,
+                     subtree: Tuple[str, ...] = ("visual_encoder",)
+                     ) -> TowerAdapter:
+    """stem_fn(variables, batch) -> (x0, {}) — the ViT embed output."""
+    jf = _jitted_block_apply(EvaBlock(cfg))
+
+    def block_fn(bvars, x, side, mode="masked", capture=False,
+                 block_name=None):
+        return jf(bvars, x, side, mode, capture)
+
+    return TowerAdapter(
+        name="vit", subtree=subtree,
+        block_names=[f"blocks_{i}" for i in range(cfg.depth)],
+        block_fn=block_fn, stem_fn=stem_fn)
+
+
+def make_t5_encoder_adapter(cfg: T5Config,
+                            embeds_fn: Callable,
+                            subtree: Tuple[str, ...] = ("encoder",)
+                            ) -> TowerAdapter:
+    """embeds_fn(variables, batch) -> (inputs_embeds, attention_mask|None).
+
+    The adapter computes the relative-position bias from the stack's own
+    ``rel_bias`` params and folds the padding mask in, exactly as the T5
+    encoder forward does.
+    """
+    block = T5Block(cfg, is_decoder=False)
+    rel = T5RelPosBias(cfg, bidirectional=True)
+
+    def stem_fn(variables, batch):
+        embeds, attn_mask = embeds_fn(variables, batch)
+        rp = variables["params"]
+        for p in subtree:
+            rp = rp[p]
+        bias = rel.apply({"params": rp["rel_bias"]},
+                         embeds.shape[1], embeds.shape[1])
+        side = {}
+        if attn_mask is not None:
+            bias = bias + extend_mask(attn_mask)
+            side["token_mask"] = attn_mask
+        side["self_bias"] = bias
+        return embeds, side
+
+    jf = _jitted_block_apply(block, side_keys=("self_bias",))
+
+    def block_fn(bvars, x, side, mode="masked", capture=False,
+                 block_name=None):
+        return jf(bvars, x, side, mode, capture)
+
+    return TowerAdapter(
+        name="t5_encoder", subtree=subtree,
+        block_names=[f"blocks_{i}" for i in range(cfg.num_layers)],
+        block_fn=block_fn, stem_fn=stem_fn)
+
+
+def make_t5_decoder_adapter(cfg: T5Config,
+                            decoder_inputs_fn: Callable,
+                            subtree: Tuple[str, ...] = ("decoder",)
+                            ) -> TowerAdapter:
+    """decoder_inputs_fn(variables, batch) ->
+    (dec_embeds, dec_mask|None, enc_out, enc_mask|None).
+
+    enc_out must already reflect the calibration dataflow policy (dense
+    upstream for the LoRA path) — the pruner decides.
+    """
+    block = T5Block(cfg, is_decoder=True)
+    rel = T5RelPosBias(cfg, bidirectional=False)
+
+    def stem_fn(variables, batch):
+        dec_embeds, dec_mask, enc_out, enc_mask = decoder_inputs_fn(
+            variables, batch)
+        n = dec_embeds.shape[1]
+        rp = variables["params"]
+        for p in subtree:
+            rp = rp[p]
+        bias = rel.apply({"params": rp["rel_bias"]}, n, n) + causal_mask(n)
+        side = {"enc_out": enc_out, "cross_mask": extend_mask(enc_mask)}
+        if dec_mask is not None:
+            bias = bias + extend_mask(dec_mask)
+            side["token_mask"] = dec_mask
+        side["self_bias"] = bias
+        return dec_embeds, side
+
+    jf = _jitted_block_apply(
+        block, side_keys=("enc_out", "self_bias", "cross_mask"))
+
+    def block_fn(bvars, x, side, mode="masked", capture=False,
+                 block_name=None):
+        return jf(bvars, x, side, mode, capture)
+
+    return TowerAdapter(
+        name="t5_decoder", subtree=subtree,
+        block_names=[f"blocks_{i}" for i in range(cfg.num_decoder_layers)],
+        block_fn=block_fn, stem_fn=stem_fn)
+
+
+def make_qformer_adapter(cfg: QFormerConfig,
+                         inputs_fn: Callable,
+                         subtree: Tuple[str, ...] = ("qformer",)
+                         ) -> TowerAdapter:
+    """inputs_fn(variables, batch) -> (x0, self_mask|None, image_embeds).
+
+    Blocks alternate structure (cross-attention every Nth layer), so the
+    adapter dispatches on the block name.
+    """
+    import functools
+
+    import jax
+
+    def _make(has_cross):
+        layer = QFormerLayer(cfg, has_cross_attention=has_cross)
+
+        @functools.partial(jax.jit, static_argnames=("mode", "capture"))
+        def f(bvars, x, side, mode, capture):
+            args = (side.get("self_mask"), side["image_embeds"], None,
+                    cfg.num_query_tokens)
+            if capture:
+                out, aux = layer.apply(bvars, x, *args, mode=mode,
+                                       mutable=["calib"])
+                return out, _collect_captured(aux["calib"])
+            return layer.apply(bvars, x, *args, mode=mode), {}
+
+        return f
+
+    jfs = {True: _make(True), False: _make(False)}
+
+    def stem_fn(variables, batch):
+        x0, self_mask, img = inputs_fn(variables, batch)
+        return x0, {"self_mask": self_mask, "image_embeds": img}
+
+    def block_fn(bvars, x, side, mode="masked", capture=False,
+                 block_name=None):
+        i = int(block_name.split("_")[-1])
+        return jfs[i % cfg.cross_attention_freq == 0](
+            bvars, x, side, mode, capture)
+
+    return TowerAdapter(
+        name="qformer", subtree=subtree,
+        block_names=[f"layers_{i}" for i in range(cfg.num_layers)],
+        block_fn=block_fn, stem_fn=stem_fn)

@@ -1,0 +1,231 @@
+"""Layerwise calibration engine.
+
+The TPU-native replacement for the reference's hook + Catcher machinery
+(wanda_pruner.py:238-354): instead of trapping block-0 inputs with a raised
+exception and replaying bs=1 samples through forward hooks, each tower
+exposes
+
+  * a ``stem`` — everything before block 0, run once over the (batched)
+    calibration set;
+  * addressable blocks — applied per-layer through their param subtrees,
+    with the ``calib`` collection capturing every SparseLinear's input.
+
+Per block the engine then does exactly what the reference does, but batched
+and jitted:
+
+  1. fold calibration statistics over all batches (one fused pass);
+  2. score + mask (+ OBS-update for SparseGPT) every linear in the block;
+  3. replay the batches through the *pruned* block to produce the next
+     block's inputs (reference wanda_pruner.py:343-347).
+
+Sparsity keys are '/'-joined param paths (e.g.
+``encoder/blocks_3/self_attn/q``) — the allocator emits the same keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vlm_compression_tpu.ops.stats import (
+    CalibStats,
+    init_calib_stats,
+    update_calib_stats,
+)
+
+
+# ---------------------------------------------------------------------------
+# variable-tree helpers
+# ---------------------------------------------------------------------------
+
+
+def linear_paths(masks_subtree) -> List[Tuple[str, ...]]:
+    """Every SparseLinear in a block = every `mask` leaf in its masks tree."""
+    paths = []
+
+    def walk(node, prefix):
+        if isinstance(node, dict) or hasattr(node, "items"):
+            for k, v in node.items():
+                if k == "mask":
+                    paths.append(prefix)
+                else:
+                    walk(v, prefix + (k,))
+
+    walk(masks_subtree, ())
+    return sorted(paths)
+
+
+def tree_get(tree, path: Sequence[str]):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def tree_set(tree, path: Sequence[str], value):
+    """Functional set on nested dicts."""
+    if not path:
+        return value
+    head, rest = path[0], path[1:]
+    new = dict(tree)
+    new[head] = tree_set(tree[head], rest, value)
+    return new
+
+
+# ---------------------------------------------------------------------------
+# tower adapters
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TowerAdapter:
+    """Binds a tower's blocks to the engine.
+
+    block_fn(block_vars, x, side, mode, capture) -> (out, captured)
+      captured: {linear_path: activations} when capture=True
+    stem_fn(variables, batch) -> (x0, side)
+      side: extra inputs every block needs (attention biases, encoder
+      outputs, token validity mask under key "token_mask").
+    """
+
+    name: str
+    block_names: List[str]
+    block_fn: Callable
+    stem_fn: Callable
+    # where the blocks live inside the tower's variables
+    subtree: Tuple[str, ...] = ()
+
+
+def _collect_captured(aux) -> Dict[Tuple[str, ...], jnp.ndarray]:
+    out = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            if k == "input":
+                # sow stores a tuple of sown values
+                out[prefix] = v[0] if isinstance(v, (tuple, list)) else v
+            else:
+                walk(v, prefix + (k,))
+
+    walk(aux, ())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BlockPruneResult:
+    masks: Dict[Tuple[str, ...], jnp.ndarray]       # keep-masks (in, out)
+    new_kernels: Dict[Tuple[str, ...], jnp.ndarray]  # updated weights or {}
+    importances: Dict[Tuple[str, ...], float]
+
+
+MaskFn = Callable[..., BlockPruneResult]
+# signature: mask_fn(kernels: {path: (in,out)}, stats: {path: CalibStats},
+#                    sparsities: {path: float}) -> BlockPruneResult
+
+
+def calibrate_and_prune_tower(
+    adapter: TowerAdapter,
+    variables: dict,
+    batches: Sequence,                 # list of model-input batches
+    mask_fn: MaskFn,
+    sparsity_for: Callable[[str], float],
+    with_hessian: bool = False,
+    lora_model: bool = True,
+    mode: str = "masked",
+    progress: Optional[Callable[[str], None]] = None,
+) -> dict:
+    """Run the layer sweep; returns updated `variables` (masks + kernels).
+
+    lora_model=False additionally zeroes pruned weights in place
+    (reference wanda_pruner.py:339-341: weights are zeroed only when no
+    LoRA wrapper carries the mask).
+    """
+    params = variables["params"]
+    masks = variables["masks"]
+    for p in adapter.subtree:
+        params = params[p]
+        masks = masks[p]
+
+    # 1. stem over all batches
+    stem = jax.jit(lambda v, b: adapter.stem_fn(v, b))
+    xs, sides = [], []
+    for b in batches:
+        x0, side = stem(variables, b)
+        xs.append(x0)
+        sides.append(side)
+
+    # block_fns arrive pre-jitted from the adapter (one compilation per
+    # block *structure*, shared across all blocks of a stack)
+    jit_block = adapter.block_fn
+
+    new_params, new_masks = dict(params), dict(masks)
+
+    for bi, bname in enumerate(adapter.block_names):
+        bparams = new_params[bname]
+        bmasks = new_masks[bname]
+        lpaths = linear_paths(bmasks)
+
+        # 2a. fold stats over batches
+        stats: Dict[Tuple[str, ...], CalibStats] = {}
+        for x, side in zip(xs, sides):
+            bvars = {"params": bparams, "masks": bmasks}
+            _, captured = jit_block(bvars, x, side, mode=mode, capture=True,
+                                    block_name=bname)
+            tmask = side.get("token_mask") if isinstance(side, dict) else None
+            for path, act in captured.items():
+                if path not in stats:
+                    stats[path] = init_calib_stats(act.shape[-1],
+                                                   with_hessian=with_hessian)
+                # the token mask only applies to activations with the same
+                # token dimension (cross-attention k/v see the *encoder*
+                # sequence, which is fully valid)
+                m = tmask if (tmask is not None
+                              and act.shape[:tmask.ndim] == tmask.shape) else None
+                stats[path] = update_calib_stats(stats[path], act, m)
+
+        # 2b. score + mask (+ update)
+        kernels = {p: tree_get(bparams, p)["kernel"] for p in lpaths}
+        skeys = {p: "/".join(adapter.subtree + (bname,) + p) for p in lpaths}
+        sparsities = {p: sparsity_for(skeys[p]) for p in lpaths}
+        result = mask_fn(kernels=kernels, stats=stats, sparsities=sparsities)
+
+        for p in lpaths:
+            keep = result.masks[p]
+            bmasks = tree_set(bmasks, p, {"mask": keep})
+            kern = result.new_kernels.get(p)
+            if kern is None and not lora_model:
+                kern = jnp.where(keep, kernels[p],
+                                 jnp.zeros((), kernels[p].dtype))
+            if kern is not None:
+                leaf = dict(tree_get(bparams, p))
+                leaf["kernel"] = kern.astype(kernels[p].dtype)
+                bparams = tree_set(bparams, p, leaf)
+
+        new_params[bname] = bparams
+        new_masks[bname] = bmasks
+
+        # 3. replay through the pruned block
+        bvars = {"params": bparams, "masks": bmasks}
+        xs = [jit_block(bvars, x, side, mode=mode, capture=False,
+                        block_name=bname)[0]
+              for x, side in zip(xs, sides)]
+
+        if progress:
+            dens = float(jnp.mean(jnp.stack(
+                [result.masks[p].mean() for p in lpaths])))
+            progress(f"[{adapter.name}] block {bi + 1}/"
+                     f"{len(adapter.block_names)} density={dens:.3f}")
+
+    # write back into the full variable tree (new_params/new_masks are copies
+    # of the subtree dicts, so non-block keys are preserved)
+    out = dict(variables)
+    out["params"] = tree_set(variables["params"], adapter.subtree, new_params)
+    out["masks"] = tree_set(variables["masks"], adapter.subtree, new_masks)
+    return out

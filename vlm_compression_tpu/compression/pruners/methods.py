@@ -1,0 +1,94 @@
+"""Per-block mask functions: the score→mask(→update) core of each method.
+
+Each factory returns a MaskFn for the calibration engine.  Kernels arrive
+in Flax layout (in, out); all scoring runs unit-major (out, in) to mirror
+the reference math, and keep-masks are returned back in (in, out).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from vlm_compression_tpu.compression.calibrate import BlockPruneResult
+from vlm_compression_tpu.ops.dsnot import dsnot_refine_mask
+from vlm_compression_tpu.ops.masks import (
+    flat_threshold_mask,
+    nm_structured_mask,
+    unstructured_mask,
+    wanda_metric,
+)
+from vlm_compression_tpu.ops.sparsegpt import sparsegpt_prune
+from vlm_compression_tpu.ops.stats import finalize_hessian
+
+
+def wanda_mask_fn(prune_n: int = 0, prune_m: int = 0,
+                  flat_threshold: bool = False):
+    """Wanda |W|·sqrt(E‖X‖²).  flat_threshold=True selects the per-tensor
+    value-threshold variant used for the ViT (wanda_pruner.py:682-684);
+    False the per-unit top-k used for language towers (:330-337)."""
+
+    def fn(kernels, stats, sparsities):
+        masks, imps = {}, {}
+        for p, k in kernels.items():
+            met = wanda_metric(k.T, stats[p].scaler_row)
+            if prune_n > 0:
+                keep = nm_structured_mask(met, prune_n, prune_m)
+            elif flat_threshold:
+                keep = flat_threshold_mask(met, sparsities[p])
+            else:
+                keep = unstructured_mask(met, sparsities[p])
+            masks[p] = keep.T
+            imps[p] = float(jnp.mean(jnp.abs(met)))
+        return BlockPruneResult(masks, {}, imps)
+
+    return fn
+
+
+def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
+                      blocksize: int = 128, percdamp: float = 0.01):
+    """OBS prune-with-update; always writes updated kernels
+    (sparsegpt_pruner.py:213-215 assigns weight.data unconditionally)."""
+
+    def fn(kernels, stats, sparsities):
+        masks, new_k, imps = {}, {}, {}
+        for p, k in kernels.items():
+            h = finalize_hessian(stats[p])
+            res = sparsegpt_prune(k.T, h, sparsities[p],
+                                  prune_n=prune_n, prune_m=prune_m,
+                                  blocksize=blocksize, percdamp=percdamp)
+            masks[p] = res.keep_mask.T
+            new_k[p] = res.weight.T
+            imps[p] = float(res.importance)
+        return BlockPruneResult(masks, new_k, imps)
+
+    return fn
+
+
+def dsnot_mask_fn(prune_n: int = 0, prune_m: int = 0,
+                  initial_method: str = "wanda",
+                  max_cycle_time: int = 50,
+                  update_threshold: float = 0.1,
+                  pow_of_var_regrowing: float = 1.0,
+                  without_same_sign: bool = True,
+                  without_dsnot: bool = False):
+    def fn(kernels, stats, sparsities):
+        masks, imps = {}, {}
+        for p, k in kernels.items():
+            s = stats[p]
+            h = (finalize_hessian(s) if (initial_method == "sparsegpt"
+                                         and s.hessian is not None) else None)
+            res = dsnot_refine_mask(
+                k.T, s.scaler_row, s.sum_metric_row, s.var,
+                sparsities[p], prune_n=prune_n, prune_m=prune_m,
+                max_cycle_time=max_cycle_time,
+                update_threshold=update_threshold,
+                pow_of_var_regrowing=pow_of_var_regrowing,
+                without_same_sign=without_same_sign,
+                without_dsnot=without_dsnot,
+                initial_method=initial_method, hessian=h)
+            masks[p] = res.keep_mask.T
+            imps[p] = float(jnp.mean(jnp.abs(
+                wanda_metric(k.T, s.scaler_row))))
+        return BlockPruneResult(masks, {}, imps)
+
+    return fn

@@ -1,0 +1,282 @@
+"""Registered pruner classes: {t5, vit, blipt5} × {wanda, sparsegpt, dsnot}.
+
+The reference implements nine near-identical classes
+(wanda_pruner.py:409-1039, sparsegpt_pruner.py:222-1090,
+dsnot_pruner.py:107-1870); here one orchestration base + a method table
+generate the same registry surface:
+
+  t5_wanda_pruner / vit_wanda_pruner / blipt5_wanda_pruner
+  t5_sparsegpt_pruner / vit_sparsegpt_pruner / blipt5_sparsegpt_pruner
+  t5_dsnot_pruner / vit_dsnot_pruner / blipt5_dsnot_pruner
+
+Orchestration parity: ViT → T5-encoder → T5-decoder, upstream towers dense
+during downstream calibration in the LoRA path (wanda_pruner.py:941-1039);
+ViT-wanda uses the flat value-threshold variant, language towers per-unit
+top-k.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from vlm_compression_tpu.common.registry import registry
+from vlm_compression_tpu.compression import adapters as A
+from vlm_compression_tpu.compression.pruners import methods as M
+from vlm_compression_tpu.compression.pruners.base import (
+    FlaxModel,
+    LayerWisePrunerBase,
+    convert_spec_to_list,
+)
+from vlm_compression_tpu.models.eva_vit import EvaViT
+from vlm_compression_tpu.models.t5 import T5ForConditionalGeneration, shift_right
+
+
+class _MethodMixin:
+    method: str = "wanda"
+
+    # DSnoT / SparseGPT knobs (reference CLI flags)
+    initial_method: str = "wanda"
+    max_cycle_time: int = 50
+    update_threshold: float = 0.1
+    pow_of_var_regrowing: float = 1.0
+    without_same_sign: bool = True
+    without_dsnot: bool = False
+    blocksize: int = 128
+    percdamp: float = 0.01
+
+    @property
+    def with_hessian(self) -> bool:
+        if self.method == "sparsegpt":
+            return True
+        return self.method == "dsnot" and self.initial_method == "sparsegpt"
+
+    def make_mask_fn(self, lora_model: bool, tower: str = "llm"):
+        if self.method == "wanda":
+            return M.wanda_mask_fn(self.prune_n, self.prune_m,
+                                   flat_threshold=(tower == "vit"))
+        if self.method == "sparsegpt":
+            return M.sparsegpt_mask_fn(self.prune_n, self.prune_m,
+                                       self.blocksize, self.percdamp)
+        if self.method == "dsnot":
+            return M.dsnot_mask_fn(
+                self.prune_n, self.prune_m, self.initial_method,
+                self.max_cycle_time, self.update_threshold,
+                self.pow_of_var_regrowing, self.without_same_sign,
+                self.without_dsnot)
+        raise ValueError(self.method)
+
+    def _prune_tower(self, adapter, variables, batches, sparsity_for,
+                     lora_model, tower="llm"):
+        from vlm_compression_tpu.compression.calibrate import (
+            calibrate_and_prune_tower,
+        )
+        import logging
+
+        return calibrate_and_prune_tower(
+            adapter, variables, batches,
+            mask_fn=self.make_mask_fn(lora_model, tower),
+            sparsity_for=sparsity_for,
+            with_hessian=self.with_hessian,
+            lora_model=lora_model,
+            progress=logging.info,
+        )
+
+
+# ---------------------------------------------------------------------------
+# standalone language tower (T5)
+# ---------------------------------------------------------------------------
+
+
+class T5PrunerBase(_MethodMixin, LayerWisePrunerBase):
+    """Prunes a bare T5ForConditionalGeneration (driver config #1 shape)."""
+
+    def prune(self, lora_model: bool = True):
+        module: T5ForConditionalGeneration = self.model.module
+        cfg = module.cfg
+        spec = convert_spec_to_list(self.prune_spec or self.t5_prune_spec)
+        sparsity = 1.0 - spec[1]
+        sfor = self.get_sparsity(sparsity, self.sparsity_ratio_granularity)
+        batches = self.batches()
+        variables = self.model.variables
+        upstream = "dense" if lora_model else "masked"
+
+        def embeds_fn(variables, batch):
+            e = module.apply(variables, batch["input_ids"],
+                             method=T5ForConditionalGeneration.embed_tokens)
+            return e, batch.get("attention_mask")
+
+        enc_ad = A.make_t5_encoder_adapter(cfg, embeds_fn, ("encoder",))
+        variables = self._prune_tower(enc_ad, variables, batches, sfor,
+                                      lora_model, tower="llm")
+
+        def dec_inputs_fn(variables, batch):
+            embeds, mask = embeds_fn(variables, batch)
+            enc_out = module.apply(
+                variables, batch["input_ids"], mask,
+                method=lambda m, ids, msk: m.encode(
+                    input_ids=ids, attention_mask=msk, mode=upstream))
+            labels = batch["labels"]
+            dec_ids = shift_right(labels, cfg.decoder_start_token_id,
+                                  cfg.pad_token_id)
+            dec_mask = (labels != -100).astype("int32")
+            dec_embeds = module.apply(
+                variables, dec_ids,
+                method=T5ForConditionalGeneration.embed_tokens)
+            return dec_embeds, dec_mask, enc_out, mask
+
+        dec_ad = A.make_t5_decoder_adapter(cfg, dec_inputs_fn, ("decoder",))
+        variables = self._prune_tower(dec_ad, variables, batches, sfor,
+                                      lora_model, tower="llm")
+
+        self.model = FlaxModel(module, variables)
+        return self.model, getattr(sfor, "mapping", None)
+
+
+# ---------------------------------------------------------------------------
+# standalone vision tower (EVA ViT)
+# ---------------------------------------------------------------------------
+
+
+class ViTPrunerBase(_MethodMixin, LayerWisePrunerBase):
+    def prune(self, lora_model: bool = True):
+        module: EvaViT = self.model.module
+        cfg = module.cfg
+        spec = convert_spec_to_list(self.prune_spec or self.vit_prune_spec)
+        sparsity = 1.0 - spec[1]
+        sfor = self.get_sparsity(sparsity, self.sparsity_ratio_granularity)
+        batches = self.batches()
+
+        def stem_fn(variables, batch):
+            return module.apply(variables, batch["image"],
+                                method=EvaViT.embed), {}
+
+        ad = A.make_vit_adapter(cfg, stem_fn, subtree=())
+        variables = self._prune_tower(ad, self.model.variables, batches,
+                                      sfor, lora_model, tower="vit")
+        self.model = FlaxModel(module, variables)
+        return self.model, getattr(sfor, "mapping", None)
+
+
+# ---------------------------------------------------------------------------
+# joint V+L (InstructBLIP)
+# ---------------------------------------------------------------------------
+
+
+class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
+    def prune(self, lora_model: bool = True):
+        module = self.model.module            # Blip2T5Instruct
+        vit_cfg, t5_cfg = module.cfg.vit, module.cfg.t5
+        vit_spec = convert_spec_to_list(self.vit_prune_spec)
+        t5_spec = convert_spec_to_list(self.t5_prune_spec)
+        vit_keep = vit_spec[1] if vit_spec else 1.0
+        t5_keep = t5_spec[1] if t5_spec else 1.0
+
+        sparsity_dict = None
+        if self.sparsity_ratio_granularity not in (None, "none"):
+            sfor_global = self.get_sparsity(
+                1.0 - t5_keep, self.sparsity_ratio_granularity)
+        else:
+            sfor_global = None
+
+        batches = self.batches()
+        variables = self.model.variables
+        # reference wanda_pruner.py:966-967: upstream dense iff that tower is
+        # being pruned in the LoRA path
+        vit_mode_for_llm = "dense" if (lora_model and vit_keep < 1.0) else "masked"
+        llm_upstream = "dense" if (lora_model and t5_keep < 1.0) else "masked"
+
+        if vit_spec and vit_keep < 1.0:
+            sfor = sfor_global or self.get_sparsity(1.0 - vit_keep)
+
+            def vit_stem(variables, batch):
+                return module.apply(
+                    variables, batch["image"],
+                    method=lambda m, img: m.visual_encoder.embed(img)), {}
+
+            ad = A.make_vit_adapter(vit_cfg, vit_stem, ("visual_encoder",))
+            variables = self._prune_tower(ad, variables, batches, sfor,
+                                          lora_model, tower="vit")
+
+        if t5_spec and t5_keep < 1.0:
+            sfor = sfor_global or self.get_sparsity(1.0 - t5_keep)
+
+            def enc_embeds_fn(variables, batch):
+                return module.apply(
+                    variables, batch,
+                    method=lambda m, b: _blip_encoder_inputs(
+                        m, b, vit_mode_for_llm))
+
+            enc_ad = A.make_t5_encoder_adapter(
+                t5_cfg, enc_embeds_fn, ("t5_model", "encoder"))
+            variables = self._prune_tower(enc_ad, variables, batches, sfor,
+                                          lora_model, tower="llm")
+
+            def dec_inputs_fn(variables, batch):
+                return module.apply(
+                    variables, batch,
+                    method=lambda m, b: _blip_decoder_inputs(
+                        m, b, vit_mode_for_llm, llm_upstream))
+
+            dec_ad = A.make_t5_decoder_adapter(
+                t5_cfg, dec_inputs_fn, ("t5_model", "decoder"))
+            variables = self._prune_tower(dec_ad, variables, batches, sfor,
+                                          lora_model, tower="llm")
+
+        self.model = FlaxModel(module, variables)
+        if sfor_global is not None:
+            sparsity_dict = getattr(sfor_global, "mapping", None)
+        return self.model, sparsity_dict
+
+
+def _blip_encoder_inputs(m, batch, vit_mode):
+    """(inputs_embeds, attention_mask) for the T5 encoder inside BLIP."""
+    import jax.numpy as jnp
+
+    prefix = m.encode_image(
+        batch["image"], vit_mode,
+        batch.get("qformer_input_ids"), batch.get("qformer_attention_mask"))
+    te = m.t5_model.embed_tokens(batch["input_ids"])
+    embeds = jnp.concatenate([prefix, te], axis=1)
+    b, nq = prefix.shape[0], prefix.shape[1]
+    mask = jnp.concatenate(
+        [jnp.ones((b, nq), batch["attention_mask"].dtype),
+         batch["attention_mask"]], axis=1)
+    return embeds, mask
+
+
+def _blip_decoder_inputs(m, batch, vit_mode, llm_mode):
+    embeds, mask = _blip_encoder_inputs(m, batch, vit_mode)
+    enc_out = m.t5_model.encoder(embeds, mask, mode=llm_mode)
+    labels = batch["labels"]
+    dec_ids = shift_right(labels, m.cfg.t5.decoder_start_token_id,
+                          m.cfg.t5.pad_token_id)
+    dec_mask = (labels != -100).astype("int32")
+    dec_embeds = m.t5_model.embed_tokens(dec_ids)
+    return dec_embeds, dec_mask, enc_out, mask
+
+
+# ---------------------------------------------------------------------------
+# registry: nine names, three bases × three methods
+# ---------------------------------------------------------------------------
+
+
+def _make(base, method_name, reg_name):
+    cls = type(
+        f"{reg_name}_cls", (base,),
+        {"method": method_name, "pruner_name": reg_name})
+    registry.register_pruner(reg_name)(cls)
+    return cls
+
+
+T5WandaPruner = _make(T5PrunerBase, "wanda", "t5_wanda_pruner")
+ViTWandaPruner = _make(ViTPrunerBase, "wanda", "vit_wanda_pruner")
+BlipT5WandaPruner = _make(BlipT5PrunerBase, "wanda", "blipt5_wanda_pruner")
+
+T5SparseGPTPruner = _make(T5PrunerBase, "sparsegpt", "t5_sparsegpt_pruner")
+ViTSparseGPTPruner = _make(ViTPrunerBase, "sparsegpt", "vit_sparsegpt_pruner")
+BlipT5SparseGPTPruner = _make(BlipT5PrunerBase, "sparsegpt",
+                              "blipt5_sparsegpt_pruner")
+
+T5DSnoTPruner = _make(T5PrunerBase, "dsnot", "t5_dsnot_pruner")
+ViTDSnoTPruner = _make(ViTPrunerBase, "dsnot", "vit_dsnot_pruner")
+BlipT5DSnoTPruner = _make(BlipT5PrunerBase, "dsnot", "blipt5_dsnot_pruner")

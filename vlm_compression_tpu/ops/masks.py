@@ -74,10 +74,15 @@ def mask_density(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(mask.astype(jnp.float32))
 
 
-def topk_per_group_threshold(metric: jnp.ndarray, sparsity: float) -> jnp.ndarray:
-    """Flat per-tensor threshold mask: prune the `int(numel*s)` smallest of the
-    whole tensor (the ViT wanda per-layer flat variant, wanda_pruner.py:682-683)."""
-    return global_threshold_mask(metric, sparsity)
+def flat_threshold_mask(metric: jnp.ndarray, sparsity) -> jnp.ndarray:
+    """Per-tensor *value*-threshold keep-mask (ViT wanda variant,
+    wanda_pruner.py:682-684): thres = sorted_flat[int(numel·s)], prune
+    strictly-below (`metric < thres` — ties at the threshold are KEPT,
+    unlike SparseGPT's `<=`)."""
+    flat = jnp.sort(metric.reshape(-1))
+    k = jnp.floor(metric.size * jnp.asarray(sparsity, jnp.float32)).astype(jnp.int32)
+    thres = flat[jnp.clip(k, 0, metric.size - 1)]
+    return metric >= thres
 
 
 def apply_mask(weight: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
