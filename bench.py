@@ -1,0 +1,127 @@
+"""Headline benchmark: Wanda + SparseGPT mask computation wall-clock for
+InstructBLIP-FlanT5-XL (EVA-ViT-g + Q-Former + FlanT5-XL), 128 calibration
+samples — the driver BASELINE target is <= 120 s for the pair of layer
+sweeps on a TPU v4-8 (BASELINE.md "Targets").
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": 120/N}
+
+Set VCT_BENCH_SCALE=tiny for a CPU smoke run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_S = 120.0
+
+
+def _rand_params(shapes, seed=0):
+    """Per-leaf N(0, 0.02) without tracing the model forward."""
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def gen():
+        out = []
+        for i, s in enumerate(leaves):
+            k = jax.random.fold_in(jax.random.key(seed), i)
+            if jnp.issubdtype(s.dtype, jnp.floating):
+                out.append(
+                    (0.02 * jax.random.normal(k, s.shape)).astype(s.dtype))
+            elif s.dtype == jnp.bool_:
+                out.append(jnp.ones(s.shape, s.dtype))
+            else:
+                out.append(jnp.zeros(s.shape, s.dtype))
+        return out
+
+    return jax.tree_util.tree_unflatten(treedef, gen())
+
+
+def main():
+    scale = os.environ.get("VCT_BENCH_SCALE", "xl")
+    from vlm_compression_tpu.compression import load_pruner
+    from vlm_compression_tpu.compression.pruners.base import FlaxModel
+    from vlm_compression_tpu.models.blip2_t5_instruct import (
+        Blip2T5Instruct,
+        Blip2T5InstructConfig,
+    )
+
+    if scale == "tiny":
+        cfg = Blip2T5InstructConfig.tiny()
+        n_calib, bs, txt, lbl = 8, 4, 6, 4
+        vit_spec, t5_spec = "2-0.5-1.0-1.0", "2-0.5-1.0-1.0"
+    else:
+        cfg = Blip2T5InstructConfig.flan_t5_xl()
+        n_calib, bs, txt, lbl = 128, 16, 40, 12
+        vit_spec, t5_spec = "39-0.5-1.0-1.0", "24-0.5-1.0-1.0"
+
+    model = Blip2T5Instruct(cfg)
+    img = cfg.vit.img_size
+    ex = dict(
+        image=jnp.zeros((1, img, img, 3), jnp.float32),
+        input_ids=jnp.zeros((1, txt), jnp.int32),
+        attention_mask=jnp.ones((1, txt), jnp.int32),
+        labels=jnp.ones((1, lbl), jnp.int32),
+        qformer_input_ids=jnp.zeros((1, txt), jnp.int32),
+        qformer_attention_mask=jnp.ones((1, txt), jnp.int32),
+    )
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, **ex), jax.random.key(0))
+    variables = dict(_rand_params(shapes))
+
+    rng = jax.random.key(42)
+    batches = []
+    for i in range(n_calib // bs):
+        k = jax.random.fold_in(rng, i)
+        ki, kt, kl_, kq = jax.random.split(k, 4)
+        batches.append(dict(
+            image=jax.random.normal(ki, (bs, img, img, 3), jnp.float32),
+            input_ids=jax.random.randint(kt, (bs, txt), 3, 2000, jnp.int32),
+            attention_mask=jnp.ones((bs, txt), jnp.int32),
+            labels=jax.random.randint(kl_, (bs, lbl), 3, 2000, jnp.int32),
+            qformer_input_ids=jax.random.randint(
+                kq, (bs, txt), 3, 2000, jnp.int32),
+            qformer_attention_mask=jnp.ones((bs, txt), jnp.int32),
+        ))
+    jax.block_until_ready(batches)
+
+    common = dict(
+        vit_prune_spec=vit_spec, t5_prune_spec=t5_spec,
+        num_samples=n_calib,
+    )
+
+    t0 = time.perf_counter()
+    pruner = load_pruner("blipt5_wanda_pruner",
+                         FlaxModel(model, variables), batches, **common)
+    fm, _ = pruner.prune(lora_model=False)
+    jax.block_until_ready(fm.variables)
+    t_wanda = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    pruner = load_pruner("blipt5_sparsegpt_pruner",
+                         FlaxModel(model, variables), batches, **common)
+    fm, _ = pruner.prune(lora_model=False)
+    jax.block_until_ready(fm.variables)
+    t_sgpt = time.perf_counter() - t1
+
+    total = t_wanda + t_sgpt
+    print(json.dumps({
+        "metric": "instructblip_t5xl_wanda+sparsegpt_mask_wallclock",
+        "value": round(total, 2),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / total, 3),
+        "detail": {"wanda_s": round(t_wanda, 2),
+                   "sparsegpt_s": round(t_sgpt, 2),
+                   "scale": scale, "backend": jax.default_backend()},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -68,6 +68,12 @@ DEFAULT_RULES: Sequence[Tuple[str, P]] = (
 REPLICATED_RULES: Sequence[Tuple[str, P]] = ((r".*", P()),)
 
 
+def mask_rules(rules: Sequence[Tuple[str, P]] = DEFAULT_RULES):
+    """Masks shadow their kernels (same shape, bool) — shard identically so
+    the masked matmul never gathers the mask."""
+    return tuple((pat.replace("kernel", "mask"), spec) for pat, spec in rules)
+
+
 def _path_str(path) -> str:
     parts = []
     for p in path:
