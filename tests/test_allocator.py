@@ -1,0 +1,169 @@
+"""LayerSparsity allocator: waterfilling, scorers, end-to-end non-uniform
+prune through the pruner stack."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vlm_compression_tpu.compression.allocator import (
+    LayerSparsity,
+    build_group_mapping,
+    compute_the_sparsity_per_group,
+    select_prunable_keys,
+)
+from vlm_compression_tpu.compression.pruners.base import FlaxModel
+from vlm_compression_tpu.models.t5 import T5Config, T5ForConditionalGeneration
+
+
+def test_waterfill_uniform_scores_uniform_result():
+    gs = {"a": 1.0, "b": 1.0}
+    gp = {"a": 1000, "b": 1000}
+    out = compute_the_sparsity_per_group(1000, gs, gp, 0.8)
+    assert out["a"] == pytest.approx(0.5, abs=0.01)
+    assert out["b"] == pytest.approx(0.5, abs=0.01)
+
+
+def test_waterfill_high_score_keeps_more():
+    gs = {"hot": 10.0, "cold": 1.0}
+    gp = {"hot": 1000, "cold": 1000}
+    out = compute_the_sparsity_per_group(1000, gs, gp, 0.8)
+    assert out["hot"] < out["cold"]
+    # budget respected
+    kept = (1 - out["hot"]) * 1000 + (1 - out["cold"]) * 1000
+    assert kept == pytest.approx(1000, abs=2)
+
+
+def test_waterfill_respects_max_sparsity():
+    gs = {"hot": 100.0, "cold": 0.001}
+    gp = {"hot": 1000, "cold": 1000}
+    out = compute_the_sparsity_per_group(1000, gs, gp, 0.8)
+    assert out["cold"] <= 0.8 + 1e-9
+
+
+def test_waterfill_zero_scores_still_fills_budget():
+    gs = {"a": 0.0, "b": 0.0}
+    gp = {"a": 500, "b": 500}
+    out = compute_the_sparsity_per_group(600, gs, gp, 1.0)
+    kept = (1 - out["a"]) * 500 + (1 - out["b"]) * 500
+    assert kept == pytest.approx(600, abs=2)
+
+
+def _tiny_t5():
+    cfg = T5Config.tiny()
+    model = T5ForConditionalGeneration(cfg)
+    b = 2
+    batch = dict(
+        input_ids=jnp.arange(b * 6, dtype=jnp.int32).reshape(b, 6) % 50,
+        attention_mask=jnp.ones((b, 6), jnp.int32),
+        labels=(jnp.arange(b * 5, dtype=jnp.int32).reshape(b, 5) % 50) + 1,
+    )
+    variables = dict(model.init(jax.random.key(0), **batch))
+    return model, variables, batch
+
+
+def test_select_keys_and_groups():
+    model, variables, _ = _tiny_t5()
+    keys = select_prunable_keys(variables["params"])
+    assert keys, "no prunable keys found"
+    assert all(any(p.startswith("blocks_") for p in k) for k in keys)
+    joined = {"/".join(k) for k in keys}
+    assert any(k.startswith("encoder/blocks_0") for k in joined)
+    gm = build_group_mapping(keys, "block")
+    assert set(gm.values()) >= {"encoder/blocks_0", "decoder/blocks_0"}
+    gm_model = build_group_mapping(keys, "model")
+    assert set(gm_model.values()) == {"encoder", "decoder"}
+
+
+@pytest.mark.parametrize("score_method", ["aobd_avg", "obd_sum",
+                                          "gradient_avg"])
+def test_first_order_allocation_budget(score_method):
+    model, variables, batch = _tiny_t5()
+    alloc = LayerSparsity(
+        model=FlaxModel(model, variables), data_loader=[batch],
+        original_sparsity=0.5, granularity="block",
+        max_sparsity_per_layer=0.9, score_method=score_method, num_data=2)
+    sp = alloc.return_sparsity()
+    assert sp
+    keys = select_prunable_keys(variables["params"])
+    sizes = {"/".join(k): int(np.prod(
+        np.asarray(_get(variables["params"], k)["kernel"]).shape))
+        for k in keys}
+    total = sum(sizes.values())
+    kept = sum((1 - sp[j]) * sizes[j] for j in sizes)
+    assert kept / total == pytest.approx(0.5, abs=0.02)
+    assert max(sp.values()) <= 0.9 + 1e-9
+
+
+def test_mezo_diff_allocation_runs():
+    model, variables, batch = _tiny_t5()
+    alloc = LayerSparsity(
+        model=FlaxModel(model, variables), data_loader=[batch, batch],
+        original_sparsity=0.5, granularity="model",
+        max_sparsity_per_layer=0.8, score_method="mezo-aobd_avg",
+        num_data=4, noise_eps=1e-3)
+    sp = alloc.return_sparsity()
+    vals = set(np.round(list(sp.values()), 6))
+    # model granularity → at most 2 distinct ratios (encoder/decoder)
+    assert 1 <= len(vals) <= 2
+    assert all(0.0 <= v <= 0.8 + 1e-9 for v in sp.values())
+
+
+def test_mezo_diff_deterministic():
+    model, variables, batch = _tiny_t5()
+
+    def run():
+        return LayerSparsity(
+            model=FlaxModel(model, variables), data_loader=[batch],
+            original_sparsity=0.5, granularity="layer",
+            max_sparsity_per_layer=0.9, score_method="mezo-gradient_avg",
+            num_data=2, seed=7).return_sparsity()
+
+    assert run() == run()
+
+
+def test_olmezo_layer_scorer_runs():
+    model, variables, batch = _tiny_t5()
+    alloc = LayerSparsity(
+        model=FlaxModel(model, variables), data_loader=[batch],
+        original_sparsity=0.5, granularity="model",
+        max_sparsity_per_layer=0.8, score_method="olmezo-aobd_avg",
+        num_data=2, num_noise=1)
+    sp = alloc.return_sparsity()
+    assert all(0.0 <= v <= 0.8 + 1e-9 for v in sp.values())
+
+
+def test_pruner_with_granularity_end_to_end():
+    from vlm_compression_tpu.compression import load_pruner
+
+    model, variables, batch = _tiny_t5()
+    pruner = load_pruner(
+        "t5_wanda_pruner", FlaxModel(model, variables), [batch],
+        prune_spec="2-0.5-1.0-1.0", num_samples=2,
+        sparsity_ratio_granularity="block", score_method="aobd_avg",
+        num_data_first_stage=2)
+    fm, sparsity_dict = pruner.prune(lora_model=True)
+    assert sparsity_dict  # non-uniform mapping recorded
+    # overall density ≈ 0.5 across pruned linears
+    dens = []
+    sizes = []
+
+    def walk(node, in_block=False):
+        for k, v in node.items():
+            if k == "mask":
+                if in_block:  # only block linears take part in allocation
+                    dens.append(float(jnp.mean(v)))
+                    sizes.append(int(np.prod(v.shape)))
+            elif isinstance(v, dict):
+                walk(v, in_block or k.startswith("blocks_"))
+
+    walk(fm.variables["masks"])
+    overall = float(np.average(dens, weights=sizes))
+    assert overall == pytest.approx(0.5, abs=0.05)
+
+
+def _get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree

@@ -1,0 +1,413 @@
+"""LayerSparsity — non-uniform sparsity-ratio allocation across layers.
+
+Counterpart of the reference's ``LayerSparsity``
+(lavis/compression/pruners/layer_single_base_pruner.py:111-728): given a
+global sparsity budget, score layer *groups* (per-model / per-block /
+per-layer granularity) with first-order gradients (``obd`` = W²·ḡ²,
+``aobd`` = |W|·|ḡ|, ``gradient`` = |ḡ|) or zeroth-order MeZO estimators
+(seed-replayed Gaussian perturbations, projected gradient
+``(loss₊ − loss₋)/2ε``), then waterfill parameters-to-keep across groups
+proportionally to score, clamped by ``max_sparsity_per_layer``
+(``compute_the_sparsity_per_group``, reference :305-375).
+
+TPU-native design notes:
+
+  * For the *allocation* only group-level score **sums** matter, and every
+    first-order variant factorizes:
+    ``Σ_elem(W²·mean_b g_b²) = mean_b Σ_elem(W²·g_b²)`` — so scoring is a
+    per-batch jitted program that returns a dict of **scalars**.  The
+    reference materializes full score tensors on host RAM
+    (reference :455-478); here HBM holds nothing beyond one gradient tree
+    transiently inside the jit.
+  * MeZO perturbations are replayed from ``jax.random.fold_in(key, leaf_i)``
+    instead of ``torch.manual_seed`` — the three uses of each z (perturb +,
+    perturb −, drift update) regenerate it from the same key so only one
+    parameter-sized copy is live at a time.
+  * Keys are '/'-joined param paths without the trailing ``kernel`` — the
+    same keys the calibration engine asks ``sparsity_for`` for.
+
+The group-allocation fixup that removes over-assigned parameters implements
+the reference's *intent*: reference :357-368 has ``+=`` where only ``-=``
+terminates the loop (a typo that path can never exit on); we subtract.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# key selection + grouping
+# ---------------------------------------------------------------------------
+
+
+def select_prunable_keys(params, prefixes: Optional[Sequence[str]] = None
+                         ) -> List[Tuple[str, ...]]:
+    """2-D kernels inside ``blocks_*`` subtrees (reference wanda_pruner.py
+    :875-881: ``.block`` in name, 2-D, under the t5/vit prefixes).  Returns
+    paths WITHOUT the trailing 'kernel' leaf, sorted."""
+    out = []
+
+    def walk(node, path):
+        for k, v in sorted(node.items()):
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+            elif (k == "kernel" and getattr(v, "ndim", 0) == 2
+                  and any(p.startswith("blocks_") for p in path)):
+                if prefixes and not any(path[0] == p or
+                                        path[0].startswith(p)
+                                        for p in prefixes):
+                    continue
+                out.append(path)
+
+    walk(params, ())
+    return sorted(out)
+
+
+def build_group_mapping(keys: Sequence[Tuple[str, ...]], granularity: str
+                        ) -> Dict[Tuple[str, ...], str]:
+    """granularity ∈ {model, block, layer} (reference wanda_pruner.py
+    :888-921)."""
+    def group(path: Tuple[str, ...]) -> str:
+        if granularity == "model":
+            return path[0]
+        if granularity == "layer":
+            return "/".join(path)
+        if granularity == "block":
+            for i, p in enumerate(path):
+                if p.startswith("blocks_"):
+                    return "/".join(path[: i + 1])
+            return path[0]
+        raise NotImplementedError(granularity)
+
+    return {k: group(k) for k in keys}
+
+
+def _tree_get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# group allocation (pure NumPy — O(groups), not device work)
+# ---------------------------------------------------------------------------
+
+
+def compute_the_sparsity_per_group(
+    total_parameters_to_keep: int,
+    group_scores: Dict[str, float],
+    group_num_parameters: Dict[str, int],
+    max_sparsity_per_layer: float = 0.8,
+    max_iters: int = 100,
+) -> Dict[str, float]:
+    """Iterative proportional allocation of params-to-keep
+    (reference layer_single_base_pruner.py:305-375)."""
+    names = list(group_scores)
+    scores = np.array([max(float(group_scores[n]), 0.0) for n in names],
+                      np.float64)
+    nparams = np.array([int(group_num_parameters[n]) for n in names],
+                       np.int64)
+    floor_keep = np.ceil(nparams * (1.0 - max_sparsity_per_layer)).astype(
+        np.int64)
+    keep = floor_keep.copy()
+    total_keep = int(min(total_parameters_to_keep, nparams.sum()))
+
+    for _ in range(max_iters):
+        if keep.sum() >= total_keep:
+            break
+        total_ratio = scores.sum()
+        if total_ratio <= 0:
+            # no scored capacity left: spread over whatever has room
+            need = total_keep - keep.sum()
+            for i in np.argsort(-(nparams - keep), kind="stable"):
+                can = min(need, int(nparams[i] - keep[i]))
+                keep[i] += can
+                need -= can
+                if need <= 0:
+                    break
+            break
+        rest = total_keep - keep.sum()
+        add = np.ceil(scores / total_ratio * rest).astype(np.int64)
+        keep = keep + add
+        scores[keep >= nparams] = 0.0
+        keep = np.minimum(keep, nparams)
+
+    # exact-total fixups (reference :337-368)
+    if keep.sum() < total_keep:
+        need = total_keep - keep.sum()
+        for i in np.where(nparams - keep > 0)[0]:
+            can = min(need, int(nparams[i] - keep[i]))
+            keep[i] += can
+            need -= can
+            if need <= 0:
+                break
+    elif keep.sum() > total_keep:
+        over = keep.sum() - total_keep
+        for i in np.argsort(-keep, kind="stable"):
+            can = min(over, int(keep[i] - floor_keep[i]))
+            keep[i] -= can
+            over -= can
+            if over <= 0:
+                break
+
+    out = {}
+    for n, k, m in zip(names, keep, nparams):
+        out[n] = float(np.clip(1.0 - k / max(m, 1), 0.0, 1.0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the allocator
+# ---------------------------------------------------------------------------
+
+
+class LayerSparsity:
+    """score_method = "<compute>_<aggregate>": compute ∈ {obd, aobd,
+    gradient, mezo-{obd,aobd,gradient}, lmezo-*, olmezo-*}, aggregate ∈
+    {sum, avg} (reference :139-146)."""
+
+    def __init__(self, model, data_loader, original_sparsity: float,
+                 granularity: str = "block",
+                 max_sparsity_per_layer: float = 0.8,
+                 score_method: str = "obd_avg",
+                 num_data: int = 32,
+                 num_noise: int = 1,
+                 noise_eps: float = 1e-3,
+                 prefixes: Optional[Sequence[str]] = None,
+                 loss_fn: Optional[Callable] = None,
+                 seed: int = 0):
+        assert max_sparsity_per_layer >= original_sparsity, (
+            "max_sparsity_per_layer must cover the budget "
+            "(reference :146)")
+        self.model = model
+        self.data_loader = data_loader
+        self.original_sparsity = float(original_sparsity)
+        self.granularity = granularity
+        self.max_sparsity_per_layer = float(max_sparsity_per_layer)
+        self.score_compute, _, agg = score_method.partition("_")
+        self.score_aggregate = agg or "avg"
+        self.num_data = num_data
+        self.num_noise = num_noise
+        self.noise_eps = float(noise_eps)
+        self.prefixes = prefixes
+        self.seed = seed
+        self.loss_fn = loss_fn or self._default_loss
+
+    # -- plumbing ------------------------------------------------------
+    def _default_loss(self, variables, batch):
+        return self.model.module.apply(variables, **batch)["loss"]
+
+    def _batches(self, limit=None):
+        limit = limit or self.num_data
+        n, out = 0, []
+        for b in self.data_loader:
+            out.append(b)
+            n += next(iter(b.values())).shape[0]
+            if n >= limit:
+                break
+        return out
+
+    # -- public API ----------------------------------------------------
+    def return_sparsity(self) -> Dict[str, float]:
+        variables = self.model.variables
+        params = variables["params"]
+        keys = select_prunable_keys(params, self.prefixes)
+        mapping = build_group_mapping(keys, self.granularity)
+
+        if self.score_compute.startswith("mezo"):
+            sums = self._score_mezo_diff(variables, keys)
+        elif self.score_compute.startswith(("lmezo", "olmezo")):
+            sums = self._score_mezo_layer(variables, keys)
+        else:
+            sums = self._score_first_order(variables, keys)
+
+        nparams = {k: int(np.prod(_tree_get(params, k)["kernel"].shape))
+                   for k in keys}
+
+        group_scores: Dict[str, float] = {}
+        group_np: Dict[str, int] = {}
+        for k in keys:
+            g = mapping[k]
+            group_scores[g] = group_scores.get(g, 0.0) + sums[k]
+            group_np[g] = group_np.get(g, 0) + nparams[k]
+        if self.score_aggregate == "avg":
+            for g in group_scores:
+                group_scores[g] /= group_np[g]
+
+        total_keep = int(sum(nparams.values())
+                         * (1.0 - self.original_sparsity))
+        group_sparsity = compute_the_sparsity_per_group(
+            total_keep, group_scores, group_np, self.max_sparsity_per_layer)
+
+        result = {"/".join(k): group_sparsity[mapping[k]] for k in keys}
+        kept = sum((1.0 - result["/".join(k)]) * nparams[k] for k in keys)
+        logging.info("LayerSparsity: keep %.0f / target %d params",
+                     kept, total_keep)
+        return result
+
+    # -- first-order scorer (reference :422-478) -----------------------
+    def _score_first_order(self, variables, keys) -> Dict[Tuple[str, ...], float]:
+        params = variables["params"]
+        frozen = {k: v for k, v in variables.items() if k != "params"}
+        compute = self.score_compute
+
+        def per_batch(p, batch):
+            grads = jax.grad(
+                lambda pp: self.loss_fn({"params": pp, **frozen}, batch)
+            )(p)
+            out = {}
+            for k in keys:
+                w = _tree_get(p, k)["kernel"].astype(jnp.float32)
+                g = _tree_get(grads, k)["kernel"].astype(jnp.float32)
+                if compute == "obd":
+                    out[k] = jnp.sum(w * w * g * g)
+                elif compute == "aobd":
+                    out[k] = jnp.sum(jnp.abs(w) * jnp.abs(g))
+                else:  # gradient
+                    out[k] = jnp.sum(jnp.abs(g))
+            return out
+
+        jper = jax.jit(per_batch)
+        sums = {k: 0.0 for k in keys}
+        batches = self._batches()
+        for b in batches:
+            s = jper(params, b)
+            for k in keys:
+                sums[k] += float(s[k])
+        for k in keys:
+            sums[k] /= max(len(batches), 1)
+        return sums
+
+    # -- MeZO full-model drift scorer (reference :495-575) -------------
+    def _score_mezo_diff(self, variables, keys):
+        params = variables["params"]
+        frozen = {k: v for k, v in variables.items() if k != "params"}
+        eps = self.noise_eps
+        total = int(sum(np.prod(_tree_get(params, k)["kernel"].shape)
+                        for k in keys))
+        lr = 1e-3 / total
+
+        key_index = {k: i for i, k in enumerate(keys)}
+
+        def z_for(rng, k, shape):
+            # replayed z: same (rng, leaf-index) → same noise, the JAX
+            # equivalent of the reference's torch.manual_seed replay (:489)
+            kk = jax.random.fold_in(rng, key_index[k])
+            return jax.random.normal(kk, shape, jnp.float32)
+
+        def perturbed(p, rng, scale):
+            newp = p
+            for k in keys:
+                leaf = dict(_tree_get(newp, k))
+                w = leaf["kernel"]
+                z = z_for(rng, k, w.shape)
+                leaf["kernel"] = (w.astype(jnp.float32)
+                                  + scale * eps * z).astype(w.dtype)
+                newp = _tree_set(newp, k, leaf)
+            return newp
+
+        @jax.jit
+        def projected_grad(p, rng, batch):
+            l1 = self.loss_fn({"params": perturbed(p, rng, +1.0), **frozen},
+                              batch)
+            l2 = self.loss_fn({"params": perturbed(p, rng, -1.0), **frozen},
+                              batch)
+            return (l1 - l2) / (2.0 * eps)
+
+        @jax.jit
+        def drift_update(drift, rng, pg):
+            return {"/".join(k): drift["/".join(k)]
+                    - pg * z_for(rng, k, drift["/".join(k)].shape) * lr
+                    for k in keys}
+
+        drift = {"/".join(k): jnp.zeros(
+            _tree_get(params, k)["kernel"].shape, jnp.float32) for k in keys}
+        batches = self._batches()
+        root = jax.random.key(self.seed)
+        for i, b in enumerate(batches):
+            rng = jax.random.fold_in(root, i)
+            pg = projected_grad(params, rng, b)
+            drift = drift_update(drift, rng, pg)
+
+        nb = max(len(batches), 1)
+        sums = {}
+        for k in keys:
+            d = drift["/".join(k)] / nb
+            w = _tree_get(params, k)["kernel"].astype(jnp.float32)
+            if self.score_compute == "mezo-obd":
+                sums[k] = float(jnp.sum(w * w * d * d))
+            elif self.score_compute == "mezo-aobd":
+                sums[k] = float(jnp.sum(jnp.abs(w) * jnp.abs(d)))
+            else:  # mezo-gradient
+                sums[k] = float(jnp.sum(jnp.abs(d)))
+        return sums
+
+    # -- per-layer MeZO scorer (reference :577-728, EcoFLaP-style) -----
+    def _score_mezo_layer(self, variables, keys):
+        params = variables["params"]
+        frozen = {k: v for k, v in variables.items() if k != "params"}
+        eps = self.noise_eps
+        one = self.score_compute.startswith("olmezo")
+        n_noise = self.num_noise if one else 4
+        num_samples = self.num_data if one else min(self.num_data, 8)
+
+        # one jitted fn per leaf (path is static), built lazily
+        cache = {}
+
+        def projected_grad(k, rng, batch):
+            shape = _tree_get(params, k)["kernel"].shape
+            if k not in cache:
+                def f(p, rng, batch, _k=k):
+                    def pert(scale):
+                        leaf = dict(_tree_get(p, _k))
+                        w = leaf["kernel"]
+                        z = jax.random.normal(rng, w.shape, jnp.float32)
+                        leaf["kernel"] = (w.astype(jnp.float32)
+                                          + scale * eps * z).astype(w.dtype)
+                        return _tree_set(p, _k, leaf)
+                    l1 = self.loss_fn({"params": pert(+1.0), **frozen}, batch)
+                    l2 = self.loss_fn({"params": pert(-1.0), **frozen}, batch)
+                    return (l1 - l2) / (2.0 * eps)
+                cache[k] = jax.jit(f)
+            return cache[k](params, rng, batch)
+
+        batches = self._batches(num_samples)
+        root = jax.random.key(self.seed)
+        grad_scalar = {}
+        for li, k in enumerate(keys):
+            acc = 0.0
+            for bi, b in enumerate(batches):
+                per = 0.0
+                for ni in range(n_noise):
+                    rng = jax.random.fold_in(root, (li * 997 + bi) * 31 + ni)
+                    pg = float(projected_grad(k, rng, b))
+                    per += abs(pg) if one else pg
+                acc += abs(per)
+            grad_scalar[k] = acc
+
+        sums = {}
+        for k in keys:
+            g = grad_scalar[k]
+            w = _tree_get(params, k)["kernel"].astype(jnp.float32)
+            if self.score_compute.endswith("obd") and not \
+                    self.score_compute.endswith("aobd"):
+                sums[k] = float(jnp.sum(w * w)) * g * g
+            elif self.score_compute.endswith("aobd"):
+                sums[k] = float(jnp.sum(jnp.abs(w))) * g
+            else:  # *mezo-gradient: scalar per element
+                sums[k] = g * float(np.prod(w.shape))
+        return sums
+
+
+def _tree_set(tree, path, value):
+    if not path:
+        return value
+    new = dict(tree)
+    new[path[0]] = _tree_set(tree[path[0]], path[1:], value)
+    return new

@@ -163,6 +163,11 @@ class ViTPrunerBase(_MethodMixin, LayerWisePrunerBase):
 
 
 class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
+    def _allocation_prefixes(self):
+        # reference wanda_pruner.py:876-881: only params under the t5/vit
+        # prefixes take part in sparsity allocation (Q-Former excluded)
+        return (self.vit_model_prefix, self.t5_model_prefix)
+
     def prune(self, lora_model: bool = True):
         module = self.model.module            # Blip2T5Instruct
         vit_cfg, t5_cfg = module.cfg.vit, module.cfg.t5

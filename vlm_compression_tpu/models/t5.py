@@ -297,10 +297,20 @@ class T5ForConditionalGeneration(nn.Module):
 
     def __call__(self, input_ids=None, attention_mask=None,
                  decoder_input_ids=None, decoder_attention_mask=None,
-                 inputs_embeds=None, mode="masked"):
+                 inputs_embeds=None, labels=None, mode="masked"):
+        """HF parity (modeling_t5.py:1793+): with ``labels``, decoder inputs
+        default to the shifted labels and the result is a loss+logits dict."""
+        if labels is not None and decoder_input_ids is None:
+            decoder_input_ids = shift_right(
+                labels, self.cfg.decoder_start_token_id, self.cfg.pad_token_id)
+            if decoder_attention_mask is None:
+                decoder_attention_mask = (labels != -100).astype(jnp.int32)
         enc = self.encode(input_ids, inputs_embeds, attention_mask, mode=mode)
-        return self.decode(decoder_input_ids, enc, decoder_attention_mask,
-                           attention_mask, mode=mode)
+        logits = self.decode(decoder_input_ids, enc, decoder_attention_mask,
+                             attention_mask, mode=mode)
+        if labels is None:
+            return logits
+        return {"loss": cross_entropy_loss(logits, labels), "logits": logits}
 
 
 def shift_right(labels, decoder_start_token_id=0, pad_token_id=0):
