@@ -23,24 +23,21 @@ BASELINE_S = 120.0
 
 
 def _rand_params(shapes, seed=0):
-    """Per-leaf N(0, 0.02) without tracing the model forward."""
+    """Per-leaf N(0, 0.02) without tracing the model forward.  One dispatch
+    per leaf keeps peak HBM at params + one fp32 temp (a single fused
+    program may hold many large temps at once)."""
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
 
-    @jax.jit
-    def gen():
-        out = []
-        for i, s in enumerate(leaves):
-            k = jax.random.fold_in(jax.random.key(seed), i)
-            if jnp.issubdtype(s.dtype, jnp.floating):
-                out.append(
-                    (0.02 * jax.random.normal(k, s.shape)).astype(s.dtype))
-            elif s.dtype == jnp.bool_:
-                out.append(jnp.ones(s.shape, s.dtype))
-            else:
-                out.append(jnp.zeros(s.shape, s.dtype))
-        return out
+    def make(i, s):
+        k = jax.random.fold_in(jax.random.key(seed), i)
+        if jnp.issubdtype(s.dtype, jnp.floating):
+            return (0.02 * jax.random.normal(k, s.shape)).astype(s.dtype)
+        if s.dtype == jnp.bool_:
+            return jnp.ones(s.shape, s.dtype)
+        return jnp.zeros(s.shape, s.dtype)
 
-    return jax.tree_util.tree_unflatten(treedef, gen())
+    return jax.tree_util.tree_unflatten(
+        treedef, [make(i, s) for i, s in enumerate(leaves)])
 
 
 def main():
@@ -73,7 +70,6 @@ def main():
     )
     shapes = jax.eval_shape(
         lambda r: model.init(r, **ex), jax.random.key(0))
-    variables = dict(_rand_params(shapes))
 
     rng = jax.random.key(42)
     batches = []
@@ -96,19 +92,25 @@ def main():
         num_samples=n_calib,
     )
 
-    t0 = time.perf_counter()
-    pruner = load_pruner("blipt5_wanda_pruner",
-                         FlaxModel(model, variables), batches, **common)
-    fm, _ = pruner.prune(lora_model=False)
-    jax.block_until_ready(fm.variables)
-    t_wanda = time.perf_counter() - t0
+    import gc
 
-    t1 = time.perf_counter()
-    pruner = load_pruner("blipt5_sparsegpt_pruner",
-                         FlaxModel(model, variables), batches, **common)
-    fm, _ = pruner.prune(lora_model=False)
-    jax.block_until_ready(fm.variables)
-    t_sgpt = time.perf_counter() - t1
+    def run(pruner_name):
+        # fresh params per pruner so only ONE copy of the ~9 GB model is
+        # resident (the prune pass itself rewrites kernels functionally)
+        variables = dict(_rand_params(shapes))
+        pruner = load_pruner(pruner_name, FlaxModel(model, variables),
+                             batches, **common)
+        del variables
+        t0 = time.perf_counter()
+        fm, _ = pruner.prune(lora_model=False)
+        jax.block_until_ready(fm.variables)
+        dt = time.perf_counter() - t0
+        del fm, pruner
+        gc.collect()
+        return dt
+
+    t_wanda = run("blipt5_wanda_pruner")
+    t_sgpt = run("blipt5_sparsegpt_pruner")
 
     total = t_wanda + t_sgpt
     print(json.dumps({

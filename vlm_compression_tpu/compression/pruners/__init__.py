@@ -7,6 +7,14 @@ from vlm_compression_tpu.compression.pruners.base import (  # noqa: F401
     convert_spec_to_list,
 )
 from vlm_compression_tpu.compression.pruners import towers  # noqa: F401
+from vlm_compression_tpu.compression.pruners import global_pruner  # noqa: F401
+from vlm_compression_tpu.compression.pruners.global_pruner import (  # noqa: F401
+    BlipT5AObdPruner,
+    BlipT5GlobalPruner,
+    BlipT5MagPruner,
+    BlipT5MezoPruner,
+    BlipT5RandPruner,
+)
 from vlm_compression_tpu.compression.pruners.towers import (  # noqa: F401
     BlipT5DSnoTPruner,
     BlipT5SparseGPTPruner,

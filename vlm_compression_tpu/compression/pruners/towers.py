@@ -98,6 +98,9 @@ class T5PrunerBase(_MethodMixin, LayerWisePrunerBase):
         sfor = self.get_sparsity(sparsity, self.sparsity_ratio_granularity)
         batches = self.batches()
         variables = self.model.variables
+        # drop the original tree reference: each stage rewrites kernels
+        # functionally, and holding both trees doubles peak HBM
+        self.model = None
         upstream = "dense" if lora_model else "masked"
 
         def embeds_fn(variables, batch):
@@ -150,8 +153,10 @@ class ViTPrunerBase(_MethodMixin, LayerWisePrunerBase):
             return module.apply(variables, batch["image"],
                                 method=EvaViT.embed), {}
 
+        variables = self.model.variables
+        self.model = None  # free the original tree during the sweep
         ad = A.make_vit_adapter(cfg, stem_fn, subtree=())
-        variables = self._prune_tower(ad, self.model.variables, batches,
+        variables = self._prune_tower(ad, variables, batches,
                                       sfor, lora_model, tower="vit")
         self.model = FlaxModel(module, variables)
         return self.model, getattr(sfor, "mapping", None)
@@ -185,6 +190,7 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
 
         batches = self.batches()
         variables = self.model.variables
+        self.model = None  # free the original tree during the sweeps
         # reference wanda_pruner.py:966-967: upstream dense iff that tower is
         # being pruned in the LoRA path
         vit_mode_for_llm = "dense" if (lora_model and vit_keep < 1.0) else "masked"
