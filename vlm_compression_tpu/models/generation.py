@@ -1,0 +1,306 @@
+"""Autoregressive decoding: greedy, nucleus sampling, beam search.
+
+TPU-native replacement for the HF ``generate`` the reference inherits
+(blip2_t5_instruct.py:299-432 calls ``t5_model.generate`` with
+``num_beams=5, repetition_penalty, length_penalty, min/max length``):
+a single jittable ``lax.while_loop`` over a KV-cached step function,
+so one compilation covers a whole decode regardless of output length.
+
+All entry points operate on a generic ``step_fn(tokens, cache) ->
+(logits, cache)`` closure — the same machinery drives the T5 decoder and
+the decoder-only towers (LLaMA/OPT).  ``make_t5_step`` builds the closure
+for ``T5ForConditionalGeneration``.
+
+Semantics matched to HF:
+  * repetition penalty: logits of tokens already generated are divided by
+    the penalty when positive, multiplied when negative
+    (HF RepetitionPenaltyLogitsProcessor)
+  * length penalty: finished-hypothesis score = sum-logprob / len**penalty
+    (HF BeamHypotheses.add)
+  * min_length: EOS logit forced to -inf below min length
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e7
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_length: int = 32
+    min_length: int = 1
+    num_beams: int = 1
+    repetition_penalty: float = 1.0
+    length_penalty: float = 1.0
+    top_p: float = 0.9
+    temperature: float = 1.0
+    decoder_start_token_id: int = 0
+    eos_token_id: int = 1
+    pad_token_id: int = 0
+    do_sample: bool = False
+
+
+# ---------------------------------------------------------------------------
+# logits processors
+# ---------------------------------------------------------------------------
+
+
+def apply_repetition_penalty(logits, seqs, valid, penalty: float):
+    """HF semantics on already-generated tokens.
+
+    logits (..., V); seqs (..., L) token ids; valid (..., L) bool."""
+    if penalty == 1.0:
+        return logits
+    bk = logits.shape[:-1]
+    v = logits.shape[-1]
+    flat_logits = logits.reshape(-1, v)
+    flat_seqs = seqs.reshape(-1, seqs.shape[-1])
+    flat_valid = valid.reshape(-1, seqs.shape[-1])
+    rows = jnp.arange(flat_seqs.shape[0])[:, None]
+    present = jnp.zeros(flat_logits.shape, bool).at[
+        rows, flat_seqs].max(flat_valid)
+    penalized = jnp.where(flat_logits > 0, flat_logits / penalty,
+                          flat_logits * penalty)
+    out = jnp.where(present, penalized, flat_logits)
+    return out.reshape(*bk, v)
+
+
+def mask_min_length(logits, cur_len, min_length, eos_token_id):
+    """Force EOS out while below min_length (cur_len = #generated so far)."""
+    block = cur_len < min_length
+    return logits.at[..., eos_token_id].add(
+        jnp.where(block, NEG_INF, 0.0))
+
+
+def top_p_filter(logits, top_p: float):
+    """Nucleus filtering: keep the smallest set with cumprob ≥ top_p."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens whose *preceding* cumulative mass < top_p
+    keep_sorted = (cum - probs) < top_p
+    # threshold value = smallest kept logit
+    thr = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
+                  keepdims=True)
+    return jnp.where(logits >= thr, logits, NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# greedy / sampling
+# ---------------------------------------------------------------------------
+
+
+def greedy_generate(step_fn, cache, batch_size: int, cfg: GenerationConfig,
+                    rng: Optional[jax.Array] = None):
+    """Returns (sequences (b, max_length), lengths).  sequences start with
+    decoder_start and are pad-filled after EOS."""
+    L = cfg.max_length
+    seqs = jnp.full((batch_size, L), cfg.pad_token_id, jnp.int32)
+    seqs = seqs.at[:, 0].set(cfg.decoder_start_token_id)
+    finished = jnp.zeros((batch_size,), bool)
+    if rng is None:
+        rng = jax.random.key(0)
+
+    def cond(state):
+        i, _, finished, _, _ = state
+        return (i < L) & ~jnp.all(finished)
+
+    def body(state):
+        i, seqs, finished, cache, rng = state
+        tok = jax.lax.dynamic_slice(seqs, (0, i - 1), (batch_size, 1))
+        logits, cache = step_fn(tok, cache)
+        logits = logits[:, -1, :].astype(jnp.float32)
+        logits = apply_repetition_penalty(
+            logits, seqs, jnp.arange(L)[None, :] < i,
+            cfg.repetition_penalty)
+        logits = mask_min_length(logits, i, cfg.min_length, cfg.eos_token_id)
+        if cfg.do_sample:
+            rng, sub = jax.random.split(rng)
+            filtered = top_p_filter(logits / cfg.temperature, cfg.top_p)
+            nxt = jax.random.categorical(sub, filtered, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = jnp.where(finished, cfg.pad_token_id, nxt).astype(jnp.int32)
+        seqs = jax.lax.dynamic_update_slice(seqs, nxt[:, None], (0, i))
+        finished = finished | (nxt == cfg.eos_token_id)
+        return i + 1, seqs, finished, cache, rng
+
+    _, seqs, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1), seqs, finished, cache, rng))
+    lengths = jnp.sum(seqs != cfg.pad_token_id, axis=-1)
+    return seqs, lengths
+
+
+# ---------------------------------------------------------------------------
+# beam search
+# ---------------------------------------------------------------------------
+
+
+def _gather_beams(tree, beam_idx, batch_size, num_beams):
+    """Reindex (b*k, ...) cache entries by per-batch beam origin."""
+    flat_idx = (jnp.arange(batch_size)[:, None] * num_beams
+                + beam_idx).reshape(-1)
+
+    def g(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and \
+                x.shape[0] == batch_size * num_beams:
+            return x[flat_idx]
+        return x
+
+    return jax.tree_util.tree_map(g, tree)
+
+
+def beam_search(step_fn, cache, batch_size: int, cfg: GenerationConfig):
+    """Returns (best sequences (b, max_length), best scores (b,)).
+
+    cache leaves must already be tiled to leading dim b*num_beams (use
+    ``tile_cache``)."""
+    K, L = cfg.num_beams, cfg.max_length
+    seqs = jnp.full((batch_size, K, L), cfg.pad_token_id, jnp.int32)
+    seqs = seqs.at[:, :, 0].set(cfg.decoder_start_token_id)
+    # only beam 0 is live initially — others duplicate it
+    live_scores = jnp.tile(
+        jnp.array([0.0] + [NEG_INF] * (K - 1))[None], (batch_size, 1))
+    fin_seqs = jnp.zeros_like(seqs)
+    fin_scores = jnp.full((batch_size, K), NEG_INF)
+
+    def cond(state):
+        i, _, live_scores, _, fin_scores, _ = state
+        if cfg.length_penalty > 0:
+            best_possible = live_scores / (L ** cfg.length_penalty)
+        else:
+            best_possible = live_scores / (i ** cfg.length_penalty)
+        improvable = jnp.any(
+            best_possible.max(-1) > fin_scores.min(-1), axis=None)
+        return (i < L) & improvable
+
+    def body(state):
+        i, seqs, live_scores, fin_seqs, fin_scores, cache = state
+        tok = jax.lax.dynamic_slice(
+            seqs, (0, 0, i - 1), (batch_size, K, 1)).reshape(-1, 1)
+        logits, cache = step_fn(tok, cache)
+        logits = logits[:, -1, :].astype(jnp.float32).reshape(
+            batch_size, K, -1)
+        V = logits.shape[-1]
+        logits = apply_repetition_penalty(
+            logits, seqs, jnp.arange(L)[None, None, :] < i,
+            cfg.repetition_penalty)
+        logits = mask_min_length(logits, i, cfg.min_length, cfg.eos_token_id)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+
+        cand = live_scores[..., None] + logp            # (b, K, V)
+        flat = cand.reshape(batch_size, K * V)
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)
+        beam_origin = top_idx // V                       # (b, 2K)
+        token = (top_idx % V).astype(jnp.int32)
+
+        # grow candidate sequences
+        cand_seqs = jnp.take_along_axis(
+            seqs, beam_origin[..., None], axis=1)        # (b, 2K, L)
+        cand_seqs = jax.lax.dynamic_update_slice(
+            cand_seqs, token[..., None].astype(jnp.int32),
+            (0, 0, i))
+
+        is_eos = token == cfg.eos_token_id
+        # finished candidates: length-penalized score, merge into fin pool
+        lp = ((i + 1).astype(jnp.float32)) ** cfg.length_penalty
+        eos_scores = jnp.where(is_eos, top_scores / lp, NEG_INF)
+        all_fin_scores = jnp.concatenate([fin_scores, eos_scores], axis=1)
+        all_fin_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=1)
+        top_fin_scores, fin_idx = jax.lax.top_k(all_fin_scores, K)
+        fin_seqs = jnp.take_along_axis(
+            all_fin_seqs, fin_idx[..., None], axis=1)
+        fin_scores = top_fin_scores
+
+        # live candidates: top K among non-eos
+        live_cand = jnp.where(is_eos, NEG_INF, top_scores)
+        new_live_scores, live_idx = jax.lax.top_k(live_cand, K)
+        seqs = jnp.take_along_axis(cand_seqs, live_idx[..., None], axis=1)
+        origin = jnp.take_along_axis(beam_origin, live_idx, axis=1)
+        cache = _gather_beams(cache, origin, batch_size, K)
+
+        return i + 1, seqs, new_live_scores, fin_seqs, fin_scores, cache
+
+    state = (jnp.asarray(1), seqs, live_scores, fin_seqs, fin_scores, cache)
+    i, seqs, live_scores, fin_seqs, fin_scores, _ = jax.lax.while_loop(
+        cond, body, state)
+
+    # if nothing finished, fall back to live beams
+    none_fin = jnp.all(fin_scores == NEG_INF, axis=-1)
+    lp = i.astype(jnp.float32) ** cfg.length_penalty
+    fin_seqs = jnp.where(none_fin[:, None, None], seqs, fin_seqs)
+    fin_scores = jnp.where(none_fin[:, None], live_scores / lp, fin_scores)
+    best = jnp.argmax(fin_scores, axis=-1)
+    out = jnp.take_along_axis(fin_seqs, best[:, None, None], axis=1)[:, 0]
+    return out, jnp.max(fin_scores, axis=-1)
+
+
+def tile_cache(cache, num_beams: int):
+    """Repeat every (b, ...) cache leaf to (b*num_beams, ...)."""
+    def t(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jnp.repeat(x, num_beams, axis=0)
+        return x
+
+    return jax.tree_util.tree_map(t, cache)
+
+
+# ---------------------------------------------------------------------------
+# T5 wiring
+# ---------------------------------------------------------------------------
+
+
+def make_t5_step(model, variables, enc_out, enc_mask, mode: str = "masked",
+                 max_decode_len: int = 32):
+    """Build (step_fn, cache) for ``T5ForConditionalGeneration``.
+
+    enc_out/enc_mask may already be beam-tiled; the cache is created by a
+    mutable("cache") init pass over a full-length dummy."""
+    b = enc_out.shape[0]
+    dummy = jnp.zeros((b, max_decode_len), jnp.int32)
+    _, cvars = model.apply(
+        variables, dummy, enc_out, None, enc_mask, mode=mode, decode=True,
+        max_decode_len=max_decode_len, mutable=["cache"],
+        method=model.decode)
+    cache = cvars["cache"]
+
+    def step_fn(tokens, cache):
+        logits, cvars = model.apply(
+            {**variables, "cache": cache}, tokens, enc_out, None, enc_mask,
+            mode=mode, decode=True, max_decode_len=max_decode_len,
+            mutable=["cache"], method=model.decode)
+        return logits, cvars["cache"]
+
+    return step_fn, cache
+
+
+def t5_generate(model, variables, input_ids=None, attention_mask=None,
+                inputs_embeds=None, cfg: Optional[GenerationConfig] = None,
+                mode: str = "masked", rng=None):
+    """Full encode→decode generate for a bare T5 (HF .generate parity)."""
+    cfg = cfg or GenerationConfig(
+        decoder_start_token_id=model.cfg.decoder_start_token_id,
+        pad_token_id=model.cfg.pad_token_id)
+    enc_out = model.apply(
+        variables, input_ids, inputs_embeds, attention_mask, mode,
+        method=model.encode)
+    b = enc_out.shape[0]
+    if cfg.num_beams > 1:
+        enc_out_t = jnp.repeat(enc_out, cfg.num_beams, axis=0)
+        mask_t = (jnp.repeat(attention_mask, cfg.num_beams, axis=0)
+                  if attention_mask is not None else None)
+        step, cache = make_t5_step(model, variables, enc_out_t, mask_t,
+                                   mode, cfg.max_length)
+        seqs, scores = beam_search(step, cache, b, cfg)
+        return seqs
+    step, cache = make_t5_step(model, variables, enc_out, attention_mask,
+                               mode, cfg.max_length)
+    seqs, _ = greedy_generate(step, cache, b, cfg, rng)
+    return seqs

@@ -123,7 +123,8 @@ class T5Attention(nn.Module):
     cfg: T5Config
 
     @nn.compact
-    def __call__(self, x, kv, position_bias, mask, mode="masked"):
+    def __call__(self, x, kv, position_bias, mask, mode="masked",
+                 decode: bool = False):
         cfg = self.cfg
         inner = cfg.num_heads * cfg.d_kv
         pdt = jnp.dtype(cfg.param_dtype)
@@ -142,6 +143,35 @@ class T5Attention(nn.Module):
         q = q.reshape(b, n, cfg.num_heads, cfg.d_kv)
         k = k.reshape(b, m, cfg.num_heads, cfg.d_kv)
         v = v.reshape(b, m, cfg.num_heads, cfg.d_kv)
+
+        # KV-cached single-step decoding (self-attention only): the flax
+        # idiom — first mutable("cache") apply over the full max_len dummy
+        # creates the buffers, later calls write step k/v at cache_index.
+        # Replaces HF's past_key_values threading (modeling_t5.py:491-653).
+        if decode and kv is None:
+            is_init = self.has_variable("cache", "cached_key")
+            ck = self.variable("cache", "cached_key",
+                               lambda: jnp.zeros(k.shape, k.dtype))
+            cv = self.variable("cache", "cached_value",
+                               lambda: jnp.zeros(v.shape, v.dtype))
+            ci = self.variable("cache", "cache_index",
+                               lambda: jnp.zeros((), jnp.int32))
+            if is_init:
+                cur = ci.value
+                max_len = ck.value.shape[1]
+                k = jax.lax.dynamic_update_slice(ck.value, k, (0, cur, 0, 0))
+                v = jax.lax.dynamic_update_slice(cv.value, v, (0, cur, 0, 0))
+                ck.value, cv.value = k, v
+                ci.value = cur + n
+                # only cached positions ≤ current step are visible
+                vis = jnp.arange(max_len)[None, None, None, :] <= (cur + n - 1)
+                step_mask = jnp.where(vis, 0.0, -1e9)
+                mask = step_mask if mask is None else mask + step_mask
+                if position_bias is not None:
+                    position_bias = jax.lax.dynamic_slice(
+                        position_bias, (0, 0, cur, 0),
+                        (1, cfg.num_heads, n, max_len))
+
         # no 1/sqrt(d): T5 folds it into init
         scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                             preferred_element_type=jnp.float32)
@@ -181,11 +211,11 @@ class T5Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, enc_out=None, self_bias=None, self_mask=None,
-                 cross_mask=None, mode="masked"):
+                 cross_mask=None, mode="masked", decode: bool = False):
         cfg = self.cfg
         h = RMSNorm(cfg.layer_norm_epsilon, name="ln_self")(x)
         x = x + T5Attention(cfg, name="self_attn")(
-            h, None, self_bias, self_mask, mode=mode)
+            h, None, self_bias, self_mask, mode=mode, decode=decode)
         if self.is_decoder:
             h = RMSNorm(cfg.layer_norm_epsilon, name="ln_cross")(x)
             x = x + T5Attention(cfg, name="cross_attn")(
@@ -241,16 +271,24 @@ class T5Decoder(nn.Module):
         self.final_norm = RMSNorm(cfg.layer_norm_epsilon, name="final_norm")
 
     def __call__(self, inputs_embeds, enc_out, dec_mask=None, enc_mask=None,
-                 mode="masked"):
+                 mode="masked", decode: bool = False,
+                 max_decode_len: Optional[int] = None):
         x = inputs_embeds
         n = x.shape[1]
-        bias = self.rel_bias(n, n) + causal_mask(n)
-        if dec_mask is not None:
-            bias = bias + extend_mask(dec_mask)
+        if decode:
+            # cache path: causality comes from the per-layer cache_index;
+            # the full (L, L) bias is computed once and row-sliced inside
+            # the attention at its cache position
+            length = max_decode_len or n
+            bias = self.rel_bias(length, length)
+        else:
+            bias = self.rel_bias(n, n) + causal_mask(n)
+            if dec_mask is not None:
+                bias = bias + extend_mask(dec_mask)
         cmask = extend_mask(enc_mask)
         for blk in self.blocks:
             x = blk(x, enc_out=enc_out, self_bias=bias, cross_mask=cmask,
-                    mode=mode)
+                    mode=mode, decode=decode)
         return self.final_norm(x)
 
 
@@ -285,9 +323,10 @@ class T5ForConditionalGeneration(nn.Module):
         return self.shared(ids).astype(jnp.dtype(self.cfg.dtype))
 
     def decode(self, decoder_input_ids, enc_out, dec_mask=None, enc_mask=None,
-               mode="masked"):
+               mode="masked", decode=False, max_decode_len=None):
         x = self.embed_tokens(decoder_input_ids)
-        h = self.decoder(x, enc_out, dec_mask, enc_mask, mode=mode)
+        h = self.decoder(x, enc_out, dec_mask, enc_mask, mode=mode,
+                         decode=decode, max_decode_len=max_decode_len)
         if self.cfg.tie_word_embeddings:
             h = h * (self.cfg.d_model ** -0.5)
             logits = self.shared.attend(h.astype(self.shared.embedding.dtype))
