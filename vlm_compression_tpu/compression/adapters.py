@@ -33,19 +33,47 @@ from vlm_compression_tpu.models.t5 import (
 )
 
 
+def _fold_captured_stats(captured, stats, side, with_hessian):
+    """Fold the block's captured activations into running stats — INSIDE
+    jit, so a whole block×batch costs one dispatch instead of one per
+    (linear, op).  Over the axon tunnel that difference is minutes."""
+    from vlm_compression_tpu.ops.stats import (
+        init_calib_stats,
+        update_calib_stats,
+    )
+
+    tmask = side.get("token_mask") if isinstance(side, dict) else None
+    new = {}
+    for path, act in captured.items():
+        st = stats.get(path) if stats else None
+        if st is None:
+            st = init_calib_stats(act.shape[-1], with_hessian=with_hessian)
+        m = tmask if (tmask is not None
+                      and act.shape[: tmask.ndim] == tmask.shape) else None
+        new[path] = update_calib_stats(st, act, m)
+    return new
+
+
 def _jitted_block_apply(module, side_keys=()):
-    """One jitted apply shared by every block of identical structure."""
+    """One jitted apply shared by every block of identical structure.
+
+    capture=True additionally folds calibration statistics:
+    (bvars, x, side, stats) -> (out, new_stats).  capture=False ignores
+    stats and returns (out, {})."""
     import functools
 
     import jax
 
-    @functools.partial(jax.jit, static_argnames=("mode", "capture"))
-    def f(bvars, x, side, mode, capture):
+    @functools.partial(jax.jit,
+                       static_argnames=("mode", "capture", "with_hessian"))
+    def f(bvars, x, side, stats, mode, capture, with_hessian):
         kwargs = {k: side[k] for k in side_keys}
         if capture:
             out, aux = module.apply(bvars, x, mode=mode, mutable=["calib"],
                                     **kwargs)
-            return out, _collect_captured(aux["calib"])
+            captured = _collect_captured(aux["calib"])
+            return out, _fold_captured_stats(captured, stats, side,
+                                             with_hessian)
         return module.apply(bvars, x, mode=mode, **kwargs), {}
 
     return f
@@ -58,9 +86,9 @@ def make_vit_adapter(cfg: EvaViTConfig,
     """stem_fn(variables, batch) -> (x0, {}) — the ViT embed output."""
     jf = _jitted_block_apply(EvaBlock(cfg))
 
-    def block_fn(bvars, x, side, mode="masked", capture=False,
-                 block_name=None):
-        return jf(bvars, x, side, mode, capture)
+    def block_fn(bvars, x, side, stats=None, mode="masked", capture=False,
+                 with_hessian=False, block_name=None):
+        return jf(bvars, x, side, stats, mode, capture, with_hessian)
 
     return TowerAdapter(
         name="vit", subtree=subtree,
@@ -97,9 +125,9 @@ def make_t5_encoder_adapter(cfg: T5Config,
 
     jf = _jitted_block_apply(block, side_keys=("self_bias",))
 
-    def block_fn(bvars, x, side, mode="masked", capture=False,
-                 block_name=None):
-        return jf(bvars, x, side, mode, capture)
+    def block_fn(bvars, x, side, stats=None, mode="masked", capture=False,
+                 with_hessian=False, block_name=None):
+        return jf(bvars, x, side, stats, mode, capture, with_hessian)
 
     return TowerAdapter(
         name="t5_encoder", subtree=subtree,
@@ -138,13 +166,57 @@ def make_t5_decoder_adapter(cfg: T5Config,
     jf = _jitted_block_apply(
         block, side_keys=("enc_out", "self_bias", "cross_mask"))
 
-    def block_fn(bvars, x, side, mode="masked", capture=False,
-                 block_name=None):
-        return jf(bvars, x, side, mode, capture)
+    def block_fn(bvars, x, side, stats=None, mode="masked", capture=False,
+                 with_hessian=False, block_name=None):
+        return jf(bvars, x, side, stats, mode, capture, with_hessian)
 
     return TowerAdapter(
         name="t5_decoder", subtree=subtree,
         block_names=[f"blocks_{i}" for i in range(cfg.num_decoder_layers)],
+        block_fn=block_fn, stem_fn=stem_fn)
+
+
+def make_llama_adapter(cfg, inputs_fn: Callable,
+                       subtree: Tuple[str, ...] = ("llm_model",)
+                       ) -> TowerAdapter:
+    """Decoder-only (LLaMA/Vicuna) layer sweep — the reference's
+    ``{prefix}.model.layers`` traversal (wanda_pruner.py:1032-1039).
+
+    inputs_fn(variables, batch) -> (inputs_embeds, attention_mask|None).
+    """
+    import jax.numpy as jnp
+
+    from vlm_compression_tpu.models.llama import LlamaBlock
+
+    block = LlamaBlock(cfg)
+    jf = _jitted_block_apply(block, side_keys=("mask", "positions"))
+
+    def stem_fn(variables, batch):
+        embeds, attn_mask = inputs_fn(variables, batch)
+        b, n, _ = embeds.shape
+        i = jnp.arange(n)[:, None]
+        j = jnp.arange(n)[None, :]
+        mask = jnp.where(j <= i, 0.0, -1e9)[None, None]
+        side = {}
+        if attn_mask is not None:
+            mask = mask + jnp.where(
+                attn_mask[:, None, None, :].astype(bool), 0.0, -1e9)
+            positions = jnp.maximum(
+                jnp.cumsum(attn_mask.astype(jnp.int32), axis=-1) - 1, 0)
+            side["token_mask"] = attn_mask
+        else:
+            positions = jnp.broadcast_to(jnp.arange(n)[None], (b, n))
+        side["mask"] = mask
+        side["positions"] = positions
+        return embeds, side
+
+    def block_fn(bvars, x, side, stats=None, mode="masked", capture=False,
+                 with_hessian=False, block_name=None):
+        return jf(bvars, x, side, stats, mode, capture, with_hessian)
+
+    return TowerAdapter(
+        name="llama", subtree=subtree,
+        block_names=[f"blocks_{i}" for i in range(cfg.num_layers)],
         block_fn=block_fn, stem_fn=stem_fn)
 
 
@@ -164,14 +236,17 @@ def make_qformer_adapter(cfg: QFormerConfig,
     def _make(has_cross):
         layer = QFormerLayer(cfg, has_cross_attention=has_cross)
 
-        @functools.partial(jax.jit, static_argnames=("mode", "capture"))
-        def f(bvars, x, side, mode, capture):
+        @functools.partial(jax.jit,
+                           static_argnames=("mode", "capture", "with_hessian"))
+        def f(bvars, x, side, stats, mode, capture, with_hessian):
             args = (side.get("self_mask"), side["image_embeds"], None,
                     cfg.num_query_tokens)
             if capture:
                 out, aux = layer.apply(bvars, x, *args, mode=mode,
                                        mutable=["calib"])
-                return out, _collect_captured(aux["calib"])
+                captured = _collect_captured(aux["calib"])
+                return out, _fold_captured_stats(captured, stats, side,
+                                                 with_hessian)
             return layer.apply(bvars, x, *args, mode=mode), {}
 
         return f
@@ -182,11 +257,11 @@ def make_qformer_adapter(cfg: QFormerConfig,
         x0, self_mask, img = inputs_fn(variables, batch)
         return x0, {"self_mask": self_mask, "image_embeds": img}
 
-    def block_fn(bvars, x, side, mode="masked", capture=False,
-                 block_name=None):
+    def block_fn(bvars, x, side, stats=None, mode="masked", capture=False,
+                 with_hessian=False, block_name=None):
         i = int(block_name.split("_")[-1])
         return jfs[i % cfg.cross_attention_freq == 0](
-            bvars, x, side, mode, capture)
+            bvars, x, side, stats, mode, capture, with_hessian)
 
     return TowerAdapter(
         name="qformer", subtree=subtree,

@@ -172,23 +172,16 @@ def calibrate_and_prune_tower(
         bmasks = new_masks[bname]
         lpaths = linear_paths(bmasks)
 
-        # 2a. fold stats over batches
+        # 2a. fold stats over batches — the fold happens INSIDE the jitted
+        # block apply (one dispatch per block×batch; the token mask only
+        # applies to activations with the same token dimension, handled in
+        # adapters._fold_captured_stats)
         stats: Dict[Tuple[str, ...], CalibStats] = {}
         for x, side in zip(xs, sides):
             bvars = {"params": bparams, "masks": bmasks}
-            _, captured = jit_block(bvars, x, side, mode=mode, capture=True,
-                                    block_name=bname)
-            tmask = side.get("token_mask") if isinstance(side, dict) else None
-            for path, act in captured.items():
-                if path not in stats:
-                    stats[path] = init_calib_stats(act.shape[-1],
-                                                   with_hessian=with_hessian)
-                # the token mask only applies to activations with the same
-                # token dimension (cross-attention k/v see the *encoder*
-                # sequence, which is fully valid)
-                m = tmask if (tmask is not None
-                              and act.shape[:tmask.ndim] == tmask.shape) else None
-                stats[path] = update_calib_stats(stats[path], act, m)
+            _, stats = jit_block(bvars, x, side, stats, mode=mode,
+                                 capture=True, with_hessian=with_hessian,
+                                 block_name=bname)
 
         # 2b. score + mask (+ update)
         kernels = {p: tree_get(bparams, p)["kernel"] for p in lpaths}
@@ -213,7 +206,7 @@ def calibrate_and_prune_tower(
 
         # 3. replay through the pruned block
         bvars = {"params": bparams, "masks": bmasks}
-        xs = [jit_block(bvars, x, side, mode=mode, capture=False,
+        xs = [jit_block(bvars, x, side, None, mode=mode, capture=False,
                         block_name=bname)[0]
               for x, side in zip(xs, sides)]
 

@@ -7,6 +7,9 @@ the reference math, and keep-masks are returned back in (in, out).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from vlm_compression_tpu.compression.calibrate import BlockPruneResult
@@ -27,18 +30,23 @@ def wanda_mask_fn(prune_n: int = 0, prune_m: int = 0,
     value-threshold variant used for the ViT (wanda_pruner.py:682-684);
     False the per-unit top-k used for language towers (:330-337)."""
 
+    @functools.partial(jax.jit, static_argnames=("sparsity",))
+    def one(kernel, scaler_row, sparsity):
+        met = wanda_metric(kernel.T, scaler_row)
+        if prune_n > 0:
+            keep = nm_structured_mask(met, prune_n, prune_m)
+        elif flat_threshold:
+            keep = flat_threshold_mask(met, sparsity)
+        else:
+            keep = unstructured_mask(met, sparsity)
+        return keep.T, jnp.mean(jnp.abs(met))
+
     def fn(kernels, stats, sparsities):
         masks, imps = {}, {}
         for p, k in kernels.items():
-            met = wanda_metric(k.T, stats[p].scaler_row)
-            if prune_n > 0:
-                keep = nm_structured_mask(met, prune_n, prune_m)
-            elif flat_threshold:
-                keep = flat_threshold_mask(met, sparsities[p])
-            else:
-                keep = unstructured_mask(met, sparsities[p])
-            masks[p] = keep.T
-            imps[p] = float(jnp.mean(jnp.abs(met)))
+            # importances stay device-side (no float() sync per linear)
+            masks[p], imps[p] = one(k, stats[p].scaler_row,
+                                    float(sparsities[p]))
         return BlockPruneResult(masks, {}, imps)
 
     return fn
@@ -58,7 +66,7 @@ def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
                                   blocksize=blocksize, percdamp=percdamp)
             masks[p] = res.keep_mask.T
             new_k[p] = res.weight.T
-            imps[p] = float(res.importance)
+            imps[p] = res.importance
         return BlockPruneResult(masks, new_k, imps)
 
     return fn
@@ -87,8 +95,7 @@ def dsnot_mask_fn(prune_n: int = 0, prune_m: int = 0,
                 without_dsnot=without_dsnot,
                 initial_method=initial_method, hessian=h)
             masks[p] = res.keep_mask.T
-            imps[p] = float(jnp.mean(jnp.abs(
-                wanda_metric(k.T, s.scaler_row))))
+            imps[p] = jnp.mean(jnp.abs(wanda_metric(k.T, s.scaler_row)))
         return BlockPruneResult(masks, {}, imps)
 
     return fn

@@ -174,8 +174,10 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
         return (self.vit_model_prefix, self.t5_model_prefix)
 
     def prune(self, lora_model: bool = True):
-        module = self.model.module            # Blip2T5Instruct
-        vit_cfg, t5_cfg = module.cfg.vit, module.cfg.t5
+        module = self.model.module   # Blip2T5Instruct or Blip2VicunaInstruct
+        vit_cfg = module.cfg.vit
+        is_t5 = hasattr(module.cfg, "t5")
+        lm_cfg = module.cfg.t5 if is_t5 else module.cfg.llm
         vit_spec = convert_spec_to_list(self.vit_prune_spec)
         t5_spec = convert_spec_to_list(self.t5_prune_spec)
         vit_keep = vit_spec[1] if vit_spec else 1.0
@@ -208,7 +210,7 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
             variables = self._prune_tower(ad, variables, batches, sfor,
                                           lora_model, tower="vit")
 
-        if t5_spec and t5_keep < 1.0:
+        if t5_spec and t5_keep < 1.0 and is_t5:
             sfor = sfor_global or self.get_sparsity(1.0 - t5_keep)
 
             def enc_embeds_fn(variables, batch):
@@ -218,7 +220,7 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
                         m, b, vit_mode_for_llm))
 
             enc_ad = A.make_t5_encoder_adapter(
-                t5_cfg, enc_embeds_fn, ("t5_model", "encoder"))
+                lm_cfg, enc_embeds_fn, ("t5_model", "encoder"))
             variables = self._prune_tower(enc_ad, variables, batches, sfor,
                                           lora_model, tower="llm")
 
@@ -229,14 +231,46 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
                         m, b, vit_mode_for_llm, llm_upstream))
 
             dec_ad = A.make_t5_decoder_adapter(
-                t5_cfg, dec_inputs_fn, ("t5_model", "decoder"))
+                lm_cfg, dec_inputs_fn, ("t5_model", "decoder"))
             variables = self._prune_tower(dec_ad, variables, batches, sfor,
+                                          lora_model, tower="llm")
+        elif t5_spec and t5_keep < 1.0:
+            # decoder-only LLM (Vicuna): single sweep over llm_model blocks
+            # (reference wanda_pruner.py:1032-1039, scripts/Vicuna/train.py
+            # passes t5_model_prefix="llm_model")
+            sfor = sfor_global or self.get_sparsity(1.0 - t5_keep)
+
+            def llm_inputs_fn(variables, batch):
+                return module.apply(
+                    variables, batch,
+                    method=lambda m, b: _blip_llm_inputs(
+                        m, b, vit_mode_for_llm))
+
+            ad = A.make_llama_adapter(lm_cfg, llm_inputs_fn, ("llm_model",))
+            variables = self._prune_tower(ad, variables, batches, sfor,
                                           lora_model, tower="llm")
 
         self.model = FlaxModel(module, variables)
         if sfor_global is not None:
             sparsity_dict = getattr(sfor_global, "mapping", None)
         return self.model, sparsity_dict
+
+
+def _blip_llm_inputs(m, batch, vit_mode):
+    """(inputs_embeds, attention_mask) for the decoder-only LLM inside
+    InstructBLIP-Vicuna: [query prefix ⊕ packed prompt+answer embeds]."""
+    import jax.numpy as jnp
+
+    prefix = m.encode_image(
+        batch["image"], vit_mode,
+        batch.get("qformer_input_ids"), batch.get("qformer_attention_mask"))
+    te = m.llm_model.embed_tokens(batch["text_input_ids"])
+    embeds = jnp.concatenate([prefix, te], axis=1)
+    b, nq = prefix.shape[0], prefix.shape[1]
+    tmask = batch["text_attention_mask"]
+    mask = jnp.concatenate(
+        [jnp.ones((b, nq), tmask.dtype), tmask], axis=1)
+    return embeds, mask
 
 
 def _blip_encoder_inputs(m, batch, vit_mode):

@@ -13,3 +13,22 @@ a prune mask in the ``masks`` collection and optional LoRA factors in the
 """
 
 from vlm_compression_tpu.models.layers import SparseLinear, Mode  # noqa: F401
+from vlm_compression_tpu.models.eva_vit import EvaViT, EvaViTConfig  # noqa: F401,E402
+from vlm_compression_tpu.models.qformer import QFormer, QFormerConfig  # noqa: F401,E402
+from vlm_compression_tpu.models.t5 import (  # noqa: F401,E402
+    T5Config,
+    T5ForConditionalGeneration,
+)
+from vlm_compression_tpu.models.llama import (  # noqa: F401,E402
+    LlamaConfig,
+    LlamaForCausalLM,
+)
+from vlm_compression_tpu.models.blip2_t5_instruct import (  # noqa: F401,E402
+    Blip2T5Instruct,
+    Blip2T5InstructConfig,
+)
+from vlm_compression_tpu.models.blip2_vicuna_instruct import (  # noqa: F401,E402
+    Blip2VicunaInstruct,
+    Blip2VicunaInstructConfig,
+    generate_vicuna,
+)

@@ -163,8 +163,11 @@ class T5Attention(nn.Module):
                 v = jax.lax.dynamic_update_slice(cv.value, v, (0, cur, 0, 0))
                 ck.value, cv.value = k, v
                 ci.value = cur + n
-                # only cached positions ≤ current step are visible
-                vis = jnp.arange(max_len)[None, None, None, :] <= (cur + n - 1)
+                # per-query causal visibility (stays correct for
+                # multi-token cache priming, not just single steps)
+                qpos = cur + jnp.arange(n)
+                vis = (jnp.arange(max_len)[None, None, None, :]
+                       <= qpos[None, None, :, None])
                 step_mask = jnp.where(vis, 0.0, -1e9)
                 mask = step_mask if mask is None else mask + step_mask
                 if position_bias is not None:
