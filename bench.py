@@ -19,6 +19,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: repeat bench runs skip XLA compiles (the
+# dominant first-run cost over a remote device tunnel).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_S = 120.0
 
 
