@@ -27,10 +27,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_S = 120.0
 
 
-def _rand_params(shapes, seed=0):
-    """Per-leaf N(0, 0.02) without tracing the model forward.  One dispatch
-    per leaf keeps peak HBM at params + one fp32 temp (a single fused
-    program may hold many large temps at once)."""
+def _rand_params(shapes, seed=0, chunk: int = 128):
+    """Per-leaf N(0, 0.02) without tracing the model forward.  Leaves are
+    generated in fixed-size chunks: one fused program per chunk bounds both
+    the dispatch count (~4k leaves would cost a minute one-by-one over the
+    device tunnel) and the fp32 temporaries live at once."""
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
 
     def make(i, s):
@@ -41,8 +42,13 @@ def _rand_params(shapes, seed=0):
             return jnp.ones(s.shape, s.dtype)
         return jnp.zeros(s.shape, s.dtype)
 
-    return jax.tree_util.tree_unflatten(
-        treedef, [make(i, s) for i, s in enumerate(leaves)])
+    out = []
+    for start in range(0, len(leaves), chunk):
+        part = leaves[start: start + chunk]
+        gen = jax.jit(lambda idx0=start, ss=tuple(part): [
+            make(idx0 + j, s) for j, s in enumerate(ss)])
+        out.extend(gen())
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def main():

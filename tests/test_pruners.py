@@ -22,6 +22,13 @@ from vlm_compression_tpu.models.t5 import (
     shift_right,
 )
 from vlm_compression_tpu.ops.masks import unstructured_mask, wanda_metric
+
+
+def _deep_copy_dicts(node):
+    """Copy the dict spine (arrays are immutable and shared)."""
+    if isinstance(node, dict):
+        return {k: _deep_copy_dicts(v) for k, v in node.items()}
+    return node
 from vlm_compression_tpu.ops.stats import init_calib_stats, update_calib_stats
 
 
@@ -80,7 +87,11 @@ def test_t5_wanda_block0_matches_oracle():
     build masks with the ops — must equal the pruner's block-0 masks."""
     rng = jax.random.PRNGKey(1)
     cfg, module, variables, batches = _t5_setup(rng)
-    pruner = load_pruner("t5_wanda_pruner", FlaxModel(module, variables),
+    # the engine takes ownership of the tree it is given — keep our own
+    # copy for the oracle replay below
+    own = jax.tree_util.tree_map(lambda x: x, dict(variables))
+    own = {k: _deep_copy_dicts(v) for k, v in own.items()}
+    pruner = load_pruner("t5_wanda_pruner", FlaxModel(module, own),
                          batches, prune_spec="2-0.5-1.0-1.0", num_samples=8)
     model, _ = pruner.prune(lora_model=True)
 
@@ -129,7 +140,8 @@ def test_t5_wanda_block0_matches_oracle():
 def test_t5_sparsegpt_updates_weights():
     rng = jax.random.PRNGKey(2)
     cfg, module, variables, batches = _t5_setup(rng)
-    pruner = load_pruner("t5_sparsegpt_pruner", FlaxModel(module, variables),
+    own = {k: _deep_copy_dicts(v) for k, v in dict(variables).items()}
+    pruner = load_pruner("t5_sparsegpt_pruner", FlaxModel(module, own),
                          batches, prune_spec="2-0.5-1.0-1.0", num_samples=8,
                          blocksize=8)
     model, _ = pruner.prune(lora_model=True)

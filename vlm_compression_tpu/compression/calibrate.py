@@ -146,12 +146,24 @@ def calibrate_and_prune_tower(
     lora_model=False additionally zeroes pruned weights in place
     (reference wanda_pruner.py:339-341: weights are zeroed only when no
     LoRA wrapper carries the mask).
+
+    TAKES OWNERSHIP of ``variables``: as each block's kernels are
+    rewritten, the old block subtree is dropped from the input tree so the
+    superseded arrays free immediately — otherwise a full-tower sweep
+    holds old+new kernels simultaneously (OOMs FlanT5-XL on one chip).
     """
     params = variables["params"]
     masks = variables["masks"]
     for p in adapter.subtree:
         params = params[p]
         masks = masks[p]
+    # `owned_*` are the dicts inside `variables` — we pop each block's entry
+    # once replaced so superseded arrays free mid-sweep; `new_*` are our
+    # working copies that accumulate the pruned blocks.  No other copy may
+    # exist or it pins every old kernel (observed ~70 MB/block on XL).
+    owned_params, owned_masks = params, masks
+    new_params, new_masks = dict(params), dict(masks)
+    del params, masks
 
     # 1. stem over all batches
     stem = jax.jit(lambda v, b: adapter.stem_fn(v, b))
@@ -164,8 +176,6 @@ def calibrate_and_prune_tower(
     # block_fns arrive pre-jitted from the adapter (one compilation per
     # block *structure*, shared across all blocks of a stack)
     jit_block = adapter.block_fn
-
-    new_params, new_masks = dict(params), dict(masks)
 
     for bi, bname in enumerate(adapter.block_names):
         bparams = new_params[bname]
@@ -203,6 +213,10 @@ def calibrate_and_prune_tower(
 
         new_params[bname] = bparams
         new_masks[bname] = bmasks
+        # release the superseded block subtree (ownership note above);
+        # unreplaced leaves (biases, norms) stay shared with bparams
+        owned_params.pop(bname, None)
+        owned_masks.pop(bname, None)
 
         # 3. replay through the pruned block
         bvars = {"params": bparams, "masks": bmasks}

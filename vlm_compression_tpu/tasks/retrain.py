@@ -60,7 +60,7 @@ class RessaTrainState(flax.struct.PyTreeNode):
 
     @classmethod
     def create(cls, variables: dict, tx: optax.GradientTransformation):
-        lora = variables["lora"]
+        lora = variables.get("lora", {})
         return cls(
             step=jnp.zeros((), jnp.int32),
             lora=lora,
@@ -147,6 +147,27 @@ def merge_lora_into_params(params, masks, lora, cfgs_by_path=None,
         return out
 
     return walk(params, masks, lora)
+
+
+def apply_masks_to_params(params, masks):
+    """Re-assert sparsity on the raw weights (reference train.py:634-637:
+    ``W[~mask] = 0`` after the sparse merge)."""
+    if not isinstance(masks, dict):
+        return params
+    out = dict(params)
+    for k, v in masks.items():
+        if k not in out:
+            continue
+        if isinstance(v, dict) and "mask" in v and isinstance(out[k], dict) \
+                and "kernel" in out[k]:
+            leaf = dict(out[k])
+            leaf["kernel"] = jnp.where(
+                v["mask"], leaf["kernel"],
+                jnp.zeros((), leaf["kernel"].dtype))
+            out[k] = leaf
+        elif isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = apply_masks_to_params(out[k], v)
+    return out
 
 
 @registry.register_task("image_text_retrain")
