@@ -1,0 +1,109 @@
+"""VQA + captioning eval tasks end-to-end on tiny models + synthetic data."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vlm_compression_tpu.datasets.tokenization import SimpleTokenizer
+from vlm_compression_tpu.models.blip2_t5_instruct import (
+    Blip2T5Instruct,
+    Blip2T5InstructConfig,
+    generate_t5,
+)
+from vlm_compression_tpu.models.generation import GenerationConfig
+from vlm_compression_tpu.compression.pruners.base import FlaxModel
+from vlm_compression_tpu.tasks.captioning import CaptionTask
+from vlm_compression_tpu.tasks.vqa import GQATask, VQATask
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = Blip2T5InstructConfig.tiny()
+    model = Blip2T5Instruct(cfg)
+    b = 2
+    batch = dict(
+        image=jnp.ones((b, 28, 28, 3), jnp.float32) * 0.1,
+        input_ids=jnp.ones((b, 6), jnp.int32),
+        attention_mask=jnp.ones((b, 6), jnp.int32),
+        labels=jnp.ones((b, 5), jnp.int32),
+        qformer_input_ids=jnp.ones((b, 6), jnp.int32),
+        qformer_attention_mask=jnp.ones((b, 6), jnp.int32),
+    )
+    variables = dict(model.init(jax.random.key(0), **batch))
+    return model, variables
+
+
+def test_generate_t5_shapes(tiny):
+    model, variables = tiny
+    img = jnp.ones((2, 28, 28, 3), jnp.float32)
+    ids = jnp.ones((2, 5), jnp.int32)
+    mask = jnp.ones((2, 5), jnp.int32)
+    for beams in (1, 3):
+        seqs = generate_t5(model, variables, img, ids, mask, ids, mask,
+                           gen_cfg=GenerationConfig(num_beams=beams,
+                                                    max_length=6))
+        assert seqs.shape == (2, 6)
+
+
+def _samples(b=2):
+    return {
+        "image": np.ones((b, 28, 28, 3), np.float32),
+        "text_input": [f"what is {i}?" for i in range(b)],
+        "answers": [["yes"] * 10 for _ in range(b)],
+        "question_id": list(range(b)),
+        "image_id": list(range(b)),
+        "instance_id": list(range(b)),
+    }
+
+
+def test_vqa_task_valid_step_and_metrics(tiny, tmp_path):
+    model, variables = tiny
+    tok = SimpleTokenizer(vocab_size=96)
+    task = VQATask(num_beams=2, max_len=4, tokenizer=tok,
+                   prompt="Question: {} Short answer:")
+    res = task.valid_step(FlaxModel(model, variables), _samples())
+    assert len(res) == 2
+    assert all("answer" in r and "gt_answers" in r for r in res)
+
+    rd = tmp_path / "result"
+    rd.mkdir()
+    metrics = task.after_evaluation(res, split_name="val",
+                                    result_dir=str(rd))
+    assert "agg_metrics" in metrics
+    assert (tmp_path / "evaluate.txt").exists()
+
+
+def test_gqa_task_metrics(tiny, tmp_path):
+    model, variables = tiny
+    tok = SimpleTokenizer(vocab_size=96)
+    task = GQATask(num_beams=1, max_len=4, tokenizer=tok)
+    res = task.valid_step(FlaxModel(model, variables), _samples())
+    rd = tmp_path / "result"
+    rd.mkdir()
+    metrics = task.after_evaluation(res, split_name="val",
+                                    result_dir=str(rd))
+    assert "acc" in metrics
+
+
+def test_caption_task_end_to_end(tiny, tmp_path):
+    model, variables = tiny
+    tok = SimpleTokenizer(vocab_size=96)
+    task = CaptionTask(num_beams=2, max_len=5, min_len=1, tokenizer=tok)
+
+    class DS:
+        annotation = [{"image_id": 0, "caption": ["a thing"]},
+                      {"image_id": 1, "caption": ["another thing"]}]
+
+    task.before_evaluation(model=None, dataset={"d": {"val": DS()}})
+    assert task.gts[0] == ["a thing"]
+    res = task.valid_step(FlaxModel(model, variables), _samples())
+    assert len(res) == 2 and all("caption" in r for r in res)
+    rd = tmp_path / "result"
+    rd.mkdir()
+    metrics = task.after_evaluation(res, split_name="val",
+                                    result_dir=str(rd))
+    assert "CIDEr" in metrics and "agg_metrics" in metrics

@@ -103,3 +103,69 @@ class Blip2T5Instruct(nn.Module):
                                       mode=llm_mode)
         loss = cross_entropy_loss(logits, labels)
         return {"loss": loss, "logits": logits}
+
+    def encode_multimodal(self, image, input_ids, attention_mask,
+                          qformer_input_ids=None,
+                          qformer_attention_mask=None,
+                          vit_mode="masked", llm_mode="masked",
+                          qformer_mode="masked"):
+        """(enc_out, enc_mask): the T5 encoder over [image prefix ⊕ prompt]
+        — the shared front half of forward/generate
+        (reference blip2_t5_instruct.py:299-432)."""
+        prefix = self.encode_image(image, vit_mode, qformer_input_ids,
+                                   qformer_attention_mask, qformer_mode)
+        b, nq, _ = prefix.shape
+        text_embeds = self.t5_model.embed_tokens(input_ids)
+        inputs_embeds = jnp.concatenate([prefix, text_embeds], axis=1)
+        enc_mask = jnp.concatenate(
+            [jnp.ones((b, nq), attention_mask.dtype), attention_mask], axis=1)
+        enc = self.t5_model.encode(inputs_embeds=inputs_embeds,
+                                   attention_mask=enc_mask, mode=llm_mode)
+        return enc, enc_mask
+
+
+def generate_t5(model: "Blip2T5Instruct", variables, image, input_ids,
+                attention_mask, qformer_input_ids=None,
+                qformer_attention_mask=None, gen_cfg=None,
+                vit_mode="masked", llm_mode="masked", qformer_mode="masked",
+                rng=None):
+    """InstructBLIP-T5 generate: beam search / greedy / nucleus over the
+    image-conditioned encoder output (reference :299-432 wraps HF
+    ``t5_model.generate`` with num_beams=5 defaults)."""
+    import jax.numpy as jnp  # noqa: F811
+
+    from vlm_compression_tpu.models.generation import (
+        GenerationConfig,
+        beam_search,
+        greedy_generate,
+        make_t5_step,
+    )
+
+    cfg = model.cfg
+    gen_cfg = gen_cfg or GenerationConfig(
+        num_beams=5, max_length=30, min_length=1,
+        decoder_start_token_id=cfg.t5.decoder_start_token_id,
+        pad_token_id=cfg.t5.pad_token_id, eos_token_id=1)
+    enc, enc_mask = model.apply(
+        variables, image, input_ids, attention_mask,
+        qformer_input_ids, qformer_attention_mask,
+        vit_mode, llm_mode, qformer_mode,
+        method=Blip2T5Instruct.encode_multimodal)
+    b = enc.shape[0]
+    from vlm_compression_tpu.models.t5 import T5ForConditionalGeneration
+
+    t5 = T5ForConditionalGeneration(cfg.t5)
+    t5_vars = {coll: tree["t5_model"] for coll, tree in variables.items()
+               if isinstance(tree, dict) and "t5_model" in tree}
+    k = gen_cfg.num_beams
+    if k > 1:
+        enc_t = jnp.repeat(enc, k, axis=0)
+        mask_t = jnp.repeat(enc_mask, k, axis=0)
+        step, cache = make_t5_step(t5, t5_vars, enc_t, mask_t, llm_mode,
+                                   gen_cfg.max_length)
+        seqs, _ = beam_search(step, cache, b, gen_cfg)
+        return seqs
+    step, cache = make_t5_step(t5, t5_vars, enc, enc_mask, llm_mode,
+                               gen_cfg.max_length)
+    seqs, _ = greedy_generate(step, cache, b, gen_cfg, rng)
+    return seqs

@@ -7,6 +7,8 @@ the registered task named in ``run_cfg.task``
 
 from vlm_compression_tpu.common.registry import registry
 from vlm_compression_tpu.tasks.base import BaseTask  # noqa: F401
+from vlm_compression_tpu.tasks.captioning import CaptionTask  # noqa: F401
+from vlm_compression_tpu.tasks.vqa import GQATask, VQATask  # noqa: F401
 from vlm_compression_tpu.tasks.retrain import (  # noqa: F401
     ImageTextRetrainTask,
     RessaTrainState,
