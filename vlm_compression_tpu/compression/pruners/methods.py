@@ -64,6 +64,10 @@ def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
             res = sparsegpt_prune(k.T, h, sparsities[p],
                                   prune_n=prune_n, prune_m=prune_m,
                                   blocksize=blocksize, percdamp=percdamp)
+            # bound the async dispatch queue: each OBS solve holds
+            # H + Hinv + fp32 weight copies (~0.5 GB on XL FFN shapes);
+            # letting several queue concurrently OOMs a 16 GB chip
+            jax.block_until_ready(res.weight)
             masks[p] = res.keep_mask.T
             new_k[p] = res.weight.T
             imps[p] = res.importance

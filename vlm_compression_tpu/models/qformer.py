@@ -178,6 +178,61 @@ class QFormer(nn.Module):
             x = q
         return self.emb_ln(x).astype(dt)
 
+    def embed_text_only(self, text_ids):
+        """Text embeddings WITHOUT query tokens (stage-1 ITC text branch,
+        reference blip2_qformer.py forward_text)."""
+        te = self.word_embeddings(text_ids)
+        pos = self.position_embeddings(jnp.arange(text_ids.shape[1]))
+        x = (te + pos[None]).astype(jnp.float32)
+        return self.emb_ln(x).astype(jnp.dtype(self.cfg.dtype))
+
+    def forward_text(self, text_ids, text_mask=None, causal: bool = False,
+                     mode: str = "masked"):
+        """Text-only encoder pass (query_length=0 → cross-attention and the
+        query FFN are skipped)."""
+        x = self.embed_text_only(text_ids)
+        n = x.shape[1]
+        if text_mask is not None:
+            m = text_mask[:, None, None, :].astype(bool)
+        else:
+            m = jnp.ones((x.shape[0], 1, 1, n), bool)
+        if causal:
+            cm = (jnp.arange(n)[None, :] <= jnp.arange(n)[:, None])
+            m = m & cm[None, None]
+        for layer in self.layers:
+            x = layer(x, m, None, None, 0, mode=mode)
+        return x
+
+    def forward_multimodal(self, image_embeds, text_ids, text_mask=None,
+                           causal_text: bool = False, mode: str = "masked"):
+        """[queries ⊕ text] with image cross-attention.  causal_text=True
+        gives the stage-1 LM pattern: queries bidirectional among
+        themselves, text attends queries + causal self (the reference's
+        BertLMHeadModel with query past_key_values)."""
+        cfg = self.cfg
+        x = self.embed(text_ids)
+        b = image_embeds.shape[0]
+        if x.shape[0] == 1 and b > 1:
+            x = jnp.broadcast_to(x, (b,) + x.shape[1:])
+        ql = cfg.num_query_tokens
+        n = x.shape[1]
+        tmask = (text_mask if text_mask is not None
+                 else jnp.ones((b, n - ql), jnp.int32))
+        valid = jnp.concatenate(
+            [jnp.ones((b, ql), tmask.dtype), tmask], axis=1)
+        m = valid[:, None, None, :].astype(bool)
+        if causal_text:
+            i = jnp.arange(n)[:, None]
+            j = jnp.arange(n)[None, :]
+            # queries visible to everyone; text causal; query rows never
+            # reach text columns (j < ql covers them, j <= i can't)
+            struct = (j < ql) | (j <= i)
+            m = m & struct[None, None]
+        img = image_embeds.astype(x.dtype)
+        for layer in self.layers:
+            x = layer(x, m, img, None, ql, mode=mode)
+        return x
+
     def __call__(self, image_embeds, text_ids=None, text_mask=None,
                  mode: str = "masked"):
         cfg = self.cfg
