@@ -1,0 +1,157 @@
+"""Evaluation CLIs.
+
+``main_prune_eval`` mirrors ``evaluate_old.py:199-392`` (optionally prune
+without LoRA, save the pruned model + stats, then run the eval suite);
+``main_eval_checkpoint`` mirrors ``evaluate_new.py:229-262`` (evaluate a
+saved checkpoint, dropping ``lora``/``mask`` entries so the merged sparse
+weights stand alone).
+
+  python -m vlm_compression_tpu.cli.evaluate --cfg-path eval.yaml \
+      --pruned_checkpoint output/.../pruned_job [--strip_lora_masks]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="evaluate (optionally prune)")
+    p.add_argument("--cfg-path", default=None)
+    p.add_argument("--options", nargs="+", default=None)
+    p.add_argument("--job_id", default=None)
+    p.add_argument("--prune", action="store_true")
+    p.add_argument("--pruning_method", default="blipt5_wanda_pruner")
+    p.add_argument("--t5_prune_spec", default=None)
+    p.add_argument("--vit_prune_spec", default=None)
+    p.add_argument("--prune_n", type=int, default=0)
+    p.add_argument("--prune_m", type=int, default=0)
+    p.add_argument("--num_data_for_prune", type=int, default=128)
+    p.add_argument("--prune_batch_size", type=int, default=1)
+    p.add_argument("--pruned_checkpoint", default=None)
+    p.add_argument("--strip_lora_masks", action="store_true",
+                   help="drop lora/mask entries from the restored "
+                        "checkpoint (evaluate_new.py:229-262)")
+    p.add_argument("--save_pruned_model", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--model_size", default=None)
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def strip_lora_masks(variables: dict) -> dict:
+    """Keep only params (+ all-True masks implied): the reference filters
+    state-dict keys containing 'lora' or 'mask' when loading a RESSA
+    checkpoint for plain evaluation."""
+    return {"params": variables["params"]}
+
+
+def main(argv=None):
+    from vlm_compression_tpu.common.config import Config
+    from vlm_compression_tpu.compression import load_pruner
+    from vlm_compression_tpu.compression.pruners.base import FlaxModel
+    from vlm_compression_tpu.datasets.tokenization import load_tokenizer
+    from vlm_compression_tpu.models.factory import build_model
+    from vlm_compression_tpu.runners.runner_base import RunnerBase, _get
+    from vlm_compression_tpu.tasks import setup_task
+    from vlm_compression_tpu.tasks.preparers import (
+        make_t5_batch_preparer,
+        make_vicuna_batch_preparer,
+    )
+
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    cfg = Config(cfg_path=args.cfg_path, options=args.options)
+    for section in ("model", "datasets", "run"):
+        if section not in cfg.config:
+            cfg.config[section] = {}
+    model_cfg = cfg.model_cfg
+    if args.tiny:
+        model_cfg["tiny"] = True
+    if args.model_size:
+        model_cfg["model_type"] = args.model_size
+
+    job_id = args.job_id or time.strftime("%Y%m%d%H%M%S")
+    output_dir = _get(cfg.run_cfg, "output_dir", f"output/{job_id}")
+    os.makedirs(output_dir, exist_ok=True)
+
+    task = setup_task(cfg)
+    pretrained = None
+    if args.pruned_checkpoint:
+        import orbax.checkpoint as ocp
+
+        pretrained = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.pruned_checkpoint))
+        if args.strip_lora_masks:
+            pretrained = strip_lora_masks(pretrained)
+    module, variables = build_model(model_cfg, seed=args.seed,
+                                    pretrained_variables=pretrained)
+    model = FlaxModel(module, variables)
+    arch = _get(model_cfg, "arch", "blip2_t5_instruct")
+
+    tok = load_tokenizer(_get(model_cfg, "tokenizer_path"),
+                         vocab_size=(module.cfg.t5.vocab_size
+                                     if hasattr(module.cfg, "t5")
+                                     else module.cfg.llm.vocab_size))
+    qtok = load_tokenizer(_get(model_cfg, "qformer_tokenizer_path"),
+                          vocab_size=module.cfg.qformer.vocab_size)
+    # generation-driven tasks need tokenizers for decode
+    if hasattr(task, "tokenizer"):
+        task.tokenizer = tok
+        task.qformer_tokenizer = qtok
+    prepare = (make_t5_batch_preparer(tok, qtok)
+               if arch == "blip2_t5_instruct"
+               else make_vicuna_batch_preparer(tok, qtok))
+
+    datasets = task.build_datasets(cfg)
+    runner = RunnerBase(cfg, task, model, datasets, job_id=job_id,
+                        prepare_batch=prepare)
+    stats = {"job_id": job_id}
+
+    if args.prune:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        t0 = time.perf_counter()
+        batches = runner.get_dataloader_for_importance_computation(
+            num_data=args.num_data_for_prune,
+            batch_size=args.prune_batch_size)
+        jbatches = [
+            {k: jnp.asarray(v) for k, v in b.items()
+             if isinstance(v, np.ndarray) and v.dtype != object}
+            for b in batches]
+        pruner = load_pruner(args.pruning_method, model, jbatches,
+                             t5_prune_spec=args.t5_prune_spec,
+                             vit_prune_spec=args.vit_prune_spec,
+                             prune_n=args.prune_n, prune_m=args.prune_m,
+                             num_samples=args.num_data_for_prune)
+        # evaluate_old.py:329 prunes WITHOUT the LoRA wrapper: weights
+        # physically zeroed
+        model, _ = pruner.prune(lora_model=False)
+        runner.model = model
+        stats["prune_seconds"] = round(time.perf_counter() - t0, 2)
+        if args.save_pruned_model:
+            import orbax.checkpoint as ocp
+
+            path = os.path.abspath(
+                os.path.join(output_dir, f"pruned_{job_id}"))
+            ck = ocp.StandardCheckpointer()
+            ck.save(path, model.variables, force=True)
+            ck.wait_until_finished()
+            stats["pruned_checkpoint"] = path
+
+    results = runner.evaluate(skip_reload=True)
+    stats["eval_results"] = results
+    with open(os.path.join(output_dir, f"eval_stats_{job_id}.json"),
+              "w") as f:
+        json.dump(stats, f, indent=2, default=str)
+    return stats
+
+
+if __name__ == "__main__":
+    main()
