@@ -21,6 +21,11 @@ import jax  # noqa: E402
 # takes effect as long as no devices were touched yet).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: tiny-model compiles dominate suite runtime;
+# repeat sessions hit the cache.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 

@@ -122,10 +122,13 @@ def main(argv=None):
     model_cfg["lora_r_q"] = args.lora_r_q
     model_cfg["lora_alpha"] = args.lora_alpha
 
+    from vlm_compression_tpu.common.profiling import PhaseTimer
+
     job_id = args.job_id or time.strftime("%Y%m%d%H%M%S")
     output_dir = _get(run_cfg, "output_dir", f"output/{job_id}")
     os.makedirs(output_dir, exist_ok=True)
     stats = {"job_id": job_id}
+    timer = PhaseTimer()
 
     task = setup_task(cfg)
     if args.kl_weight is not None:
@@ -162,6 +165,8 @@ def main(argv=None):
 
     if args.prune:
         t0 = time.perf_counter()
+        timer_ctx = timer.phase("prune")
+        timer_ctx.__enter__()
         batches = runner.get_dataloader_for_importance_computation(
             num_data=args.num_data_for_prune,
             batch_size=args.prune_batch_size)
@@ -191,6 +196,7 @@ def main(argv=None):
             update_threshold=args.update_threshold,
             pow_of_var_regrowing=args.pow_of_var_regrowing)
         model, sparsity_mapping = pruner.prune(lora_model=args.train)
+        timer_ctx.__exit__(None, None, None)
         runner.model = model
         stats["prune_seconds"] = round(time.perf_counter() - t0, 2)
         if sparsity_mapping:
@@ -204,8 +210,9 @@ def main(argv=None):
 
     if args.train:
         t0 = time.perf_counter()
-        runner._train_state = None   # rebuild on (possibly pruned) model
-        runner.train(prune_retrain=True)
+        with timer.phase("retrain"):
+            runner._train_state = None  # rebuild on (possibly pruned) model
+            runner.train(prune_retrain=True)
         # merge LoRA into base weights; sparse merge keeps sparsity
         # (train.py:626-637 + lora.py:384-394)
         v = runner.model.variables
@@ -235,6 +242,10 @@ def main(argv=None):
         ckptr.wait_until_finished()
         stats["pruned_checkpoint"] = path
 
+    # reference train.py:695-707 artifact: per-phase wall-clock + memory
+    timer.dump(output_dir, job_id,
+               extra={k: v for k, v in stats.items()
+                      if isinstance(v, (int, float, str))})
     with open(os.path.join(output_dir,
                            f"training_statistics_{job_id}.json"), "w") as f:
         json.dump(stats, f, indent=2, default=str)
