@@ -79,8 +79,12 @@ def main():
         qformer_input_ids=jnp.zeros((1, txt), jnp.int32),
         qformer_attention_mask=jnp.ones((1, txt), jnp.int32),
     )
+    # dense-mode init: no masks collection is created — zeroed weights
+    # already encode sparsity on the non-LoRA path, and all-True bool masks
+    # would cost ~3.4 GB extra on the XL composition
     shapes = jax.eval_shape(
-        lambda r: model.init(r, **ex), jax.random.key(0))
+        lambda r: model.init(r, **ex, vit_mode="dense", llm_mode="dense",
+                             qformer_mode="dense"), jax.random.key(0))
 
     rng = jax.random.key(42)
     batches = []

@@ -408,6 +408,6 @@ class LayerSparsity:
 def _tree_set(tree, path, value):
     if not path:
         return value
-    new = dict(tree)
-    new[path[0]] = _tree_set(tree[path[0]], path[1:], value)
+    new = dict(tree) if isinstance(tree, dict) else {}
+    new[path[0]] = _tree_set(new.get(path[0], {}), path[1:], value)
     return new

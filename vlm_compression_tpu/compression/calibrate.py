@@ -42,19 +42,20 @@ from vlm_compression_tpu.ops.stats import (
 # ---------------------------------------------------------------------------
 
 
-def linear_paths(masks_subtree) -> List[Tuple[str, ...]]:
-    """Every SparseLinear in a block = every `mask` leaf in its masks tree."""
+def linear_paths(params_subtree) -> List[Tuple[str, ...]]:
+    """Every SparseLinear in a block = every dict holding a 2-D `kernel`
+    (discovery moved off the masks tree: masks are optional now)."""
     paths = []
 
     def walk(node, prefix):
         if isinstance(node, dict) or hasattr(node, "items"):
+            if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 2:
+                paths.append(prefix)
+                return
             for k, v in node.items():
-                if k == "mask":
-                    paths.append(prefix)
-                else:
-                    walk(v, prefix + (k,))
+                walk(v, prefix + (k,))
 
-    walk(masks_subtree, ())
+    walk(params_subtree, ())
     return sorted(paths)
 
 
@@ -65,12 +66,13 @@ def tree_get(tree, path: Sequence[str]):
 
 
 def tree_set(tree, path: Sequence[str], value):
-    """Functional set on nested dicts."""
+    """Functional set on nested dicts; creates missing intermediate nodes
+    (mask subtrees may not pre-exist)."""
     if not path:
         return value
     head, rest = path[0], path[1:]
-    new = dict(tree)
-    new[head] = tree_set(tree[head], rest, value)
+    new = dict(tree) if isinstance(tree, dict) else {}
+    new[head] = tree_set(new.get(head, {}), rest, value)
     return new
 
 
@@ -143,20 +145,23 @@ def calibrate_and_prune_tower(
 ) -> dict:
     """Run the layer sweep; returns updated `variables` (masks + kernels).
 
-    lora_model=False additionally zeroes pruned weights in place
-    (reference wanda_pruner.py:339-341: weights are zeroed only when no
-    LoRA wrapper carries the mask).
+    lora_model=False additionally zeroes pruned weights in place and
+    SKIPS writing masks — zeroed weights already encode the sparsity, and
+    a bool mask per kernel would cost half the parameter memory again
+    (reference wanda_pruner.py:339-341 zeroes weights exactly in this
+    case; its `module.mask` attr is never consulted without LoRA).
 
     TAKES OWNERSHIP of ``variables``: as each block's kernels are
     rewritten, the old block subtree is dropped from the input tree so the
     superseded arrays free immediately — otherwise a full-tower sweep
     holds old+new kernels simultaneously (OOMs FlanT5-XL on one chip).
     """
+    write_masks = lora_model
     params = variables["params"]
-    masks = variables["masks"]
+    masks = variables.get("masks", {})
     for p in adapter.subtree:
         params = params[p]
-        masks = masks[p]
+        masks = masks.get(p, {}) if isinstance(masks, dict) else {}
     # `owned_*` are the dicts inside `variables` — we pop each block's entry
     # once replaced so superseded arrays free mid-sweep; `new_*` are our
     # working copies that accumulate the pruned blocks.  No other copy may
@@ -179,8 +184,8 @@ def calibrate_and_prune_tower(
 
     for bi, bname in enumerate(adapter.block_names):
         bparams = new_params[bname]
-        bmasks = new_masks[bname]
-        lpaths = linear_paths(bmasks)
+        bmasks = new_masks.get(bname, {})
+        lpaths = linear_paths(bparams)
 
         # 2a. fold stats over batches — the fold happens INSIDE the jitted
         # block apply (one dispatch per block×batch; the token mask only
@@ -201,7 +206,8 @@ def calibrate_and_prune_tower(
 
         for p in lpaths:
             keep = result.masks[p]
-            bmasks = tree_set(bmasks, p, {"mask": keep})
+            if write_masks:
+                bmasks = tree_set(bmasks, p, {"mask": keep})
             kern = result.new_kernels.get(p)
             if kern is None and not lora_model:
                 kern = jnp.where(keep, kernels[p],
@@ -234,5 +240,7 @@ def calibrate_and_prune_tower(
     # of the subtree dicts, so non-block keys are preserved)
     out = dict(variables)
     out["params"] = tree_set(variables["params"], adapter.subtree, new_params)
-    out["masks"] = tree_set(variables["masks"], adapter.subtree, new_masks)
+    if write_masks:
+        out["masks"] = tree_set(variables.get("masks", {}), adapter.subtree,
+                                new_masks)
     return out

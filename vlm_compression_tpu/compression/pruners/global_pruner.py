@@ -134,7 +134,7 @@ class BlipT5GlobalPruner(LayerWisePrunerBase):
                 masks = layerwise_mask(imp, p_i)
 
             # zero pruned weights (reference :190-194) + set keep-masks
-            new_params, new_masks = params, variables["masks"]
+            new_params, new_masks = params, variables.get("masks", {})
             for ks, path in skeys.items():
                 m = jnp.broadcast_to(
                     masks[ks], _tree_get(params, path)["kernel"].shape)

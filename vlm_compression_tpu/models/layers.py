@@ -73,11 +73,20 @@ class SparseLinear(nn.Module):
         if mode == DENSE:
             y = x @ k
         else:
-            mask = self.variable(
-                "masks", "mask",
-                lambda: jnp.ones((in_features, self.features), bool)).value
+            # the mask is OPTIONAL: a model initialized/applied without a
+            # masks collection (or whose collection lacks this layer) runs
+            # un-masked — an all-True bool the size of the kernel would
+            # otherwise cost half the parameter memory again on XL towers
+            if (self.has_variable("masks", "mask")
+                    or self.is_mutable_collection("masks")):
+                mask = self.variable(
+                    "masks", "mask",
+                    lambda: jnp.ones((in_features, self.features),
+                                     bool)).value
+            else:
+                mask = None
             if mode == MASKED or self.lora_rank == 0:
-                y = masked_matmul(x, k, mask)
+                y = x @ k if mask is None else masked_matmul(x, k, mask)
             else:
                 scale = self.lora_alpha / self.lora_rank
 
@@ -98,7 +107,10 @@ class SparseLinear(nn.Module):
                                       self.param_dtype)).value
                 a = lora_a.astype(dtype)
                 b = lora_b.astype(dtype)
-                if mode == SPARSE_LORA:
+                if mask is None:
+                    z = (x @ a) @ b
+                    y = x @ k + (scale * z.astype(jnp.float32)).astype(dtype)
+                elif mode == SPARSE_LORA:
                     y = sparse_lora_matmul(x, k, mask, a, b, scale)
                 else:
                     y = lora_matmul_ref(x, k, mask, a, b, scale)
