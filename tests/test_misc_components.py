@@ -1,0 +1,156 @@
+"""RunnerIter, stage-2 pretrain task, predict_class, adapter IO."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vlm_compression_tpu.common.optims import make_adamw
+from vlm_compression_tpu.compression.peft_io import (
+    adapter_state,
+    attach_adapter_state,
+    count_parameters,
+    load_adapter,
+    print_trainable_parameters,
+    remaining_parameter_fraction,
+    save_adapter,
+)
+from vlm_compression_tpu.models.blip2_t5_instruct import (
+    Blip2T5Instruct,
+    Blip2T5InstructConfig,
+    predict_class_t5,
+)
+from vlm_compression_tpu.models.eva_vit import EvaViTConfig
+from vlm_compression_tpu.models.qformer import QFormerConfig
+from vlm_compression_tpu.models.t5 import T5Config
+from vlm_compression_tpu.tasks.pretrain import ImageTextPretrainTask
+from vlm_compression_tpu.tasks.retrain import RessaTrainState
+
+
+@pytest.fixture(scope="module")
+def tiny_lora():
+    cfg = Blip2T5InstructConfig(
+        vit=EvaViTConfig.tiny(lora_rank=2),
+        qformer=QFormerConfig.tiny(lora_rank=2),
+        t5=T5Config.tiny(lora_rank=4),
+    )
+    model = Blip2T5Instruct(cfg)
+    b = 2
+    batch = dict(
+        image=jnp.ones((b, 28, 28, 3), jnp.float32) * 0.1,
+        input_ids=jnp.ones((b, 6), jnp.int32),
+        attention_mask=jnp.ones((b, 6), jnp.int32),
+        labels=jnp.ones((b, 5), jnp.int32),
+        qformer_input_ids=jnp.ones((b, 6), jnp.int32),
+        qformer_attention_mask=jnp.ones((b, 6), jnp.int32),
+    )
+    variables = dict(model.init(
+        jax.random.key(0), **batch, vit_mode="sparse_lora",
+        llm_mode="sparse_lora", qformer_mode="sparse_lora"))
+    return model, variables, batch
+
+
+def test_pretrain_task_step(tiny_lora):
+    model, variables, batch = tiny_lora
+    tx = make_adamw()
+    state = RessaTrainState.create(variables, tx)
+    task = ImageTextPretrainTask()
+    step = jax.jit(task.make_train_step(model, tx))
+    state, metrics = step(state, batch, 1e-3)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
+def test_predict_class_prefers_target(tiny_lora):
+    model, variables, batch = tiny_lora
+    cands = jnp.asarray([[5, 9, -100], [7, 2, -100], [11, 3, 8]], jnp.int32)
+    nll = predict_class_t5(model, variables, batch["image"],
+                           batch["input_ids"], batch["attention_mask"],
+                           cands, batch["qformer_input_ids"],
+                           batch["qformer_attention_mask"])
+    assert nll.shape == (2, 3)
+    assert np.all(np.isfinite(np.asarray(nll)))
+    # longer candidate accumulates more summed CE on a random model
+    assert np.all(np.asarray(nll)[:, 2] > np.asarray(nll)[:, :2].min(1))
+
+
+def test_adapter_roundtrip(tiny_lora, tmp_path):
+    model, variables, batch = tiny_lora
+    st = adapter_state(variables)
+    assert set(st) == {"lora", "masks"}
+    path = save_adapter(variables, tmp_path / "adapter")
+    restored = load_adapter(path, st)
+    for a, b2 in zip(jax.tree_util.tree_leaves(st),
+                     jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+    re = attach_adapter_state({"params": variables["params"]}, restored)
+    out = model.apply(re, **batch, vit_mode="sparse_lora",
+                      llm_mode="sparse_lora", qformer_mode="sparse_lora")
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_parameter_accounting(tiny_lora):
+    model, variables, batch = tiny_lora
+    c = count_parameters(variables)
+    assert 0 < c["trainable"] < c["total"]
+    msg = print_trainable_parameters(variables)
+    assert "trainable%" in msg
+    assert remaining_parameter_fraction(variables) == pytest.approx(1.0)
+    # knock out half of one mask
+    masks = variables["masks"]
+    import copy
+
+    def first_mask_path(tree, path=()):
+        for k, v in tree.items():
+            if k == "mask":
+                return path
+            if isinstance(v, dict):
+                r = first_mask_path(v, path + (k,))
+                if r is not None:
+                    return r
+        return None
+
+    p = first_mask_path(masks)
+    node = masks
+    for kk in p:
+        node = node[kk]
+    m = node["mask"]
+    node["mask"] = m.at[: m.shape[0] // 2].set(False)
+    frac = remaining_parameter_fraction(variables)
+    assert frac < 1.0
+
+
+def test_runner_iter_smoke(tiny_lora, tmp_path):
+    from vlm_compression_tpu.common.config import ConfigNode
+    from vlm_compression_tpu.compression.pruners.base import FlaxModel
+    from vlm_compression_tpu.runners.runner_iter import RunnerIter
+    from vlm_compression_tpu.tasks.retrain import ImageTextRetrainTask
+
+    model, variables, batch = tiny_lora
+
+    class DS:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return {k: np.asarray(v[i % 2]) for k, v in batch.items()}
+
+        def collater(self, items):
+            return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    run = dict(task="image_text_retrain", batch_size_train=8,
+               max_iters=4, iters_per_inner_epoch=2, init_lr=1e-3,
+               min_lr=1e-4, warmup_steps=1, log_freq=1,
+               output_dir=str(tmp_path / "out"))
+    cfg = ConfigNode({"run": run})
+    cfg.run_cfg = cfg["run"]
+    fresh = jax.tree_util.tree_map(jnp.copy, dict(variables))
+    runner = RunnerIter(cfg, ImageTextRetrainTask(), FlaxModel(model, fresh),
+                        {"d": {"train": DS()}}, job_id="it",
+                        prepare_batch=lambda s: s)
+    stats = runner.train()
+    assert len(stats) == 2  # two inner epochs
+    import os
+
+    assert os.path.isdir(os.path.join(runner.output_dir, "checkpoint_iter2"))

@@ -124,6 +124,48 @@ class Blip2T5Instruct(nn.Module):
         return enc, enc_mask
 
 
+def predict_class_t5(model: "Blip2T5Instruct", variables, image, input_ids,
+                     attention_mask, candidate_labels,
+                     qformer_input_ids=None, qformer_attention_mask=None,
+                     vit_mode="masked", llm_mode="masked",
+                     qformer_mode="masked"):
+    """Candidate ranking (reference blip2_t5_instruct.predict_class
+    :482+): per-candidate summed CE of the decoder over each answer
+    option; returns (b, n_candidates) negative log-likelihoods (lower =
+    better).  candidate_labels: (C, L) int32, -100 padded."""
+    from vlm_compression_tpu.models.t5 import (
+        T5ForConditionalGeneration,
+        shift_right,
+    )
+
+    cfg = model.cfg
+    enc, enc_mask = model.apply(
+        variables, image, input_ids, attention_mask,
+        qformer_input_ids, qformer_attention_mask,
+        vit_mode, llm_mode, qformer_mode,
+        method=Blip2T5Instruct.encode_multimodal)
+    b = enc.shape[0]
+    C, L = candidate_labels.shape
+    enc_rep = jnp.repeat(enc, C, axis=0)
+    mask_rep = jnp.repeat(enc_mask, C, axis=0)
+    labels = jnp.tile(candidate_labels, (b, 1))
+    dec_ids = shift_right(labels, cfg.t5.decoder_start_token_id,
+                          cfg.t5.pad_token_id)
+    t5 = T5ForConditionalGeneration(cfg.t5)
+    t5_vars = {coll: tree["t5_model"] for coll, tree in variables.items()
+               if isinstance(tree, dict) and "t5_model" in tree}
+    logits = t5.apply(t5_vars, dec_ids, enc_rep, None, mask_rep,
+                      mode=llm_mode, method=t5.decode)
+    import jax
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    valid = labels != -100
+    safe = jnp.where(valid, labels, 0)
+    ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = -(ll * valid).sum(-1)                    # (b*C,) summed CE
+    return nll.reshape(b, C)
+
+
 def generate_t5(model: "Blip2T5Instruct", variables, image, input_ids,
                 attention_mask, qformer_input_ids=None,
                 qformer_attention_mask=None, gen_cfg=None,

@@ -263,7 +263,9 @@ class RunnerBase:
         ckptr.wait_until_finished()
         with open(os.path.join(self.output_dir, "checkpoint_meta.json"),
                   "w") as f:
-            json.dump({"epoch": int(cur_epoch), "best": bool(is_best)}, f)
+            epoch = cur_epoch if isinstance(cur_epoch, int) else -1
+            json.dump({"epoch": epoch, "tag": str(cur_epoch),
+                       "best": bool(is_best)}, f)
         logging.info("Saved checkpoint to %s", path)
 
     def _load_checkpoint_if_resume(self):
