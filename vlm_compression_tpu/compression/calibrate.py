@@ -132,6 +132,55 @@ MaskFn = Callable[..., BlockPruneResult]
 #                    sparsities: {path: float}) -> BlockPruneResult
 
 
+def _start_mask_prewarm(adapter, new_params, mask_fn, sparsity_for,
+                        with_hessian):
+    """Compile the mask fns for every distinct kernel shape in a
+    background thread (results discarded; the jit cache is shared)."""
+    import threading
+
+    shapes = {}
+    for bname in adapter.block_names:
+        bp = new_params.get(bname)
+        if bp is None:
+            continue
+        for p in linear_paths(bp):
+            k = tree_get(bp, p)["kernel"]
+            key = (k.shape, str(k.dtype),
+                   float(sparsity_for("/".join(
+                       adapter.subtree + (bname,) + p))))
+            shapes.setdefault(key, (p, bname))
+
+    if len(shapes) <= 0:
+        return None
+
+    def one(shape, dtype, sp):
+        from vlm_compression_tpu.ops.stats import init_calib_stats
+
+        try:
+            kern = jnp.zeros(shape, dtype)
+            st = init_calib_stats(shape[0], with_hessian=with_hessian)
+            if with_hessian and st.hessian is not None:
+                st = st._replace(
+                    hessian=jnp.eye(shape[0], dtype=jnp.float32),
+                    nsamples=jnp.ones((), jnp.int32))
+            mask_fn(kernels={("warm",): kern}, stats={("warm",): st},
+                    sparsities={("warm",): sp})
+        except Exception:  # noqa: BLE001 — warm-up must never break a sweep
+            pass
+
+    def work():
+        # XLA compilation releases the GIL: compiling the distinct shapes
+        # concurrently collapses sum-of-compiles to ~max-of-compiles
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(shapes), 8)) as ex:
+            list(ex.map(lambda a: one(*a), list(shapes)))
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    return t
+
+
 def calibrate_and_prune_tower(
     adapter: TowerAdapter,
     variables: dict,
@@ -182,6 +231,12 @@ def calibrate_and_prune_tower(
     # block *structure*, shared across all blocks of a stack)
     jit_block = adapter.block_fn
 
+    # pre-warm mask-kernel compiles concurrently with the first stats
+    # passes: SparseGPT's OBS program compiles in ~90 s per distinct shape
+    # on a cold cache — serialized, that dominates sweep wall-clock
+    warm_thread = _start_mask_prewarm(adapter, new_params, mask_fn,
+                                      sparsity_for, with_hessian)
+
     for bi, bname in enumerate(adapter.block_names):
         bparams = new_params[bname]
         bmasks = new_masks.get(bname, {})
@@ -199,6 +254,9 @@ def calibrate_and_prune_tower(
                                  block_name=bname)
 
         # 2b. score + mask (+ update)
+        if warm_thread is not None:
+            warm_thread.join()
+            warm_thread = None
         kernels = {p: tree_get(bparams, p)["kernel"] for p in lpaths}
         skeys = {p: "/".join(adapter.subtree + (bname,) + p) for p in lpaths}
         sparsities = {p: sparsity_for(skeys[p]) for p in lpaths}
