@@ -107,3 +107,37 @@ def test_caption_task_end_to_end(tiny, tmp_path):
     metrics = task.after_evaluation(res, split_name="val",
                                     result_dir=str(rd))
     assert "CIDEr" in metrics and "agg_metrics" in metrics
+
+
+def test_classification_task(tiny, tmp_path):
+    from vlm_compression_tpu.tasks.classification import (
+        MultimodalClassificationTask,
+    )
+
+    model, variables = tiny
+    tok = SimpleTokenizer(vocab_size=96)
+    task = MultimodalClassificationTask(
+        tokenizer=tok, class_names=["cat", "dog", "bird"])
+    s = _samples()
+    s["label"] = ["cat", "dog"]
+    res = task.valid_step(FlaxModel(model, variables), s)
+    assert len(res) == 2 and all("prediction" in r for r in res)
+    rd = tmp_path / "result"
+    rd.mkdir()
+    m = task.after_evaluation(res, result_dir=str(rd))
+    assert "acc" in m
+
+
+def test_language_modeling_task(tiny):
+    from vlm_compression_tpu.tasks.classification import (
+        LanguageModelingTask,
+    )
+
+    model, variables = tiny
+    tok = SimpleTokenizer(vocab_size=96)
+    task = LanguageModelingTask(tokenizer=tok, max_len=16)
+    res = task.valid_step(FlaxModel(model, variables),
+                          {"text_input": ["some words here", "more text"]})
+    assert res[0]["n_tokens"] > 0
+    m = task.after_evaluation(res)
+    assert m["ppl"] > 0
