@@ -1,0 +1,86 @@
+"""evaluate CLI: prune-and-eval + checkpoint-eval with stripping."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("evalcli")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    anns = []
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+            img_dir / f"i{i}.jpg")
+        anns.append({"image": f"i{i}.jpg", "question": f"what is {i}?",
+                     "question_id": i, "answer": ["yes"] * 10})
+    with open(root / "vqa.json", "w") as f:
+        json.dump(anns, f)
+
+    cfg = {
+        "model": {"arch": "blip2_t5_instruct", "tiny": True},
+        "datasets": {
+            "coco_vqa": {
+                "build_info": {
+                    "annotations": {
+                        "train": [str(root / "vqa.json")],
+                        "val": [str(root / "vqa.json")],
+                    },
+                    "images": {"storage": str(img_dir)},
+                },
+                "vis_processor": {
+                    "train": {"name": "blip_image_eval", "image_size": 28},
+                    "eval": {"name": "blip_image_eval", "image_size": 28},
+                },
+                "text_processor": {
+                    "train": {"name": "blip_question"},
+                    "eval": {"name": "blip_question"},
+                },
+            },
+        },
+        "run": {
+            "task": "vqa",
+            "batch_size_train": 4, "batch_size_eval": 4,
+            "num_beams": 1, "max_len": 4,
+            "test_splits": ["val"],
+            "output_dir": str(root / "out"),
+        },
+    }
+    path = root / "cfg.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return root, str(path)
+
+
+def test_evaluate_cli_prune_and_eval(workdir):
+    from vlm_compression_tpu.cli.evaluate import main
+
+    root, cfg_path = workdir
+    stats = main([
+        "--cfg-path", cfg_path, "--job_id", "ev1", "--tiny",
+        "--prune", "--pruning_method", "blipt5_wanda_pruner",
+        "--t5_prune_spec", "2-0.5-1.0-1.0",
+        "--vit_prune_spec", "2-0.5-1.0-1.0",
+        "--num_data_for_prune", "2", "--prune_batch_size", "2",
+        "--save_pruned_model",
+    ])
+    assert "prune_seconds" in stats
+    assert "val" in stats["eval_results"]
+    assert "agg_metrics" in stats["eval_results"]["val"]
+    assert os.path.isdir(stats["pruned_checkpoint"])
+
+    # phase 2: evaluate the saved checkpoint with lora/mask stripping
+    stats2 = main([
+        "--cfg-path", cfg_path, "--job_id", "ev2", "--tiny",
+        "--pruned_checkpoint", stats["pruned_checkpoint"],
+        "--strip_lora_masks",
+    ])
+    assert "val" in stats2["eval_results"]
