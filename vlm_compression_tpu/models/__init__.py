@@ -32,3 +32,44 @@ from vlm_compression_tpu.models.blip2_vicuna_instruct import (  # noqa: F401,E40
     Blip2VicunaInstructConfig,
     generate_vicuna,
 )
+from vlm_compression_tpu.models.opt import OPTConfig, OPTForCausalLM  # noqa: F401,E402
+from vlm_compression_tpu.models.blip2_opt import Blip2OPT, Blip2OPTConfig  # noqa: F401,E402
+from vlm_compression_tpu.models.blip2_qformer import (  # noqa: F401,E402
+    Blip2Qformer,
+    Blip2QformerConfig,
+)
+
+
+def load_model(name: str, model_type: str = "flant5xl", is_eval: bool = False,
+               checkpoint: str = None, tiny: bool = False, seed: int = 0):
+    """(module, variables) by registry name — counterpart of
+    ``lavis.models.load_model`` (models/__init__.py:271 area)."""
+    from vlm_compression_tpu.models.factory import build_model
+
+    pretrained = None
+    if checkpoint:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        pretrained = ocp.StandardCheckpointer().restore(
+            os.path.abspath(checkpoint))
+    return build_model({"arch": name, "model_type": model_type,
+                        "tiny": tiny}, seed=seed,
+                       pretrained_variables=pretrained)
+
+
+def load_model_and_preprocess(name: str, model_type: str = "flant5xl",
+                              is_eval: bool = False, **kw):
+    """(module, variables, vis_processors, txt_processors) — counterpart of
+    ``lavis.models.load_model_and_preprocess``."""
+    from vlm_compression_tpu.datasets.processors import load_processor
+
+    module, variables = load_model(name, model_type, is_eval, **kw)
+    img = module.cfg.vit.img_size
+    vis = {"train": load_processor("blip2_image_train",
+                                   {"image_size": img}),
+           "eval": load_processor("blip_image_eval", {"image_size": img})}
+    txt = {"train": load_processor("blip_caption"),
+           "eval": load_processor("blip_caption")}
+    return module, variables, vis, txt
