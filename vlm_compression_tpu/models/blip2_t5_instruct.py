@@ -52,8 +52,12 @@ class Blip2T5InstructConfig:
         return Blip2T5InstructConfig(**d)
 
 
+@registry.register_model("blip2_t5")
 @registry.register_model("blip2_t5_instruct")
 class Blip2T5Instruct(nn.Module):
+    """Also registered as ``blip2_t5``: the non-instruct BLIP-2-T5
+    (lavis blip2_t5.py) is this composition with no Q-Former text input —
+    pass ``qformer_input_ids=None``."""
     cfg: Blip2T5InstructConfig
 
     def setup(self):
