@@ -154,3 +154,53 @@ def test_runner_iter_smoke(tiny_lora, tmp_path):
     import os
 
     assert os.path.isdir(os.path.join(runner.output_dir, "checkpoint_iter2"))
+
+
+def test_data_derivatives_and_activations(tiny_lora):
+    from vlm_compression_tpu.compression.derivatives import (
+        convert_activation_to_importance,
+        get_activations,
+        get_data_derivative,
+    )
+
+    model, variables, batch = tiny_lora
+    fisher = get_data_derivative(model, variables, [batch], power=2)
+    leaves = jax.tree_util.tree_leaves(fisher)
+    assert leaves and all(np.all(np.asarray(x) >= 0) for x in leaves)
+
+    acts = get_activations(model, variables, [batch])
+    assert acts
+    any_path = next(iter(acts))
+    assert acts[any_path].ndim == 1
+    imp = convert_activation_to_importance(acts, square=False)
+    assert np.all(np.asarray(imp[any_path]) >= 0)
+
+
+def test_aux_tuners():
+    from vlm_compression_tpu.compression.tuners import (
+        BottleneckAdapter,
+        BottleneckConfig,
+        PrefixTuning,
+        PrefixTuningConfig,
+        PromptTuning,
+        PromptTuningConfig,
+    )
+
+    x = jnp.ones((2, 5, 16))
+    mask = jnp.ones((2, 5), jnp.int32)
+    pt = PromptTuning(PromptTuningConfig(num_virtual_tokens=3, token_dim=16))
+    v = pt.init(jax.random.key(0), x, mask)
+    out, m = pt.apply(v, x, mask)
+    assert out.shape == (2, 8, 16) and m.shape == (2, 8)
+
+    pf = PrefixTuning(PrefixTuningConfig(num_virtual_tokens=4, token_dim=16,
+                                         num_layers=2, num_heads=2,
+                                         encoder_hidden_size=8))
+    v = pf.init(jax.random.key(0), 2)
+    kv = pf.apply(v, 2)
+    assert kv.shape == (2, 2, 2, 4, 2, 8)
+
+    ba = BottleneckAdapter(BottleneckConfig(bottleneck_size=4))
+    v = ba.init(jax.random.key(0), x)
+    out = ba.apply(v, x)
+    assert out.shape == x.shape
