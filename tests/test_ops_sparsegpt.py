@@ -135,3 +135,26 @@ def test_singular_hessian_recovers_via_damping():
     got = sparsegpt_prune(jnp.asarray(W), jnp.asarray(H), 0.5, blocksize=16)
     assert np.isfinite(np.asarray(got.weight)).all()
     assert np.isfinite(np.asarray(got.losses)).all()
+
+
+def test_batched_matches_single():
+    from vlm_compression_tpu.ops.sparsegpt import (
+        sparsegpt_prune,
+        sparsegpt_prune_batched,
+    )
+
+    rng = np.random.default_rng(7)
+    ws = jnp.asarray(rng.standard_normal((3, 16, 32)), jnp.float32)
+    hs = []
+    for i in range(3):
+        x = rng.standard_normal((64, 32)).astype(np.float32)
+        hs.append(2.0 / 64 * x.T @ x)
+    hs = jnp.asarray(np.stack(hs))
+    batched = sparsegpt_prune_batched(ws, hs, 0.5, blocksize=8)
+    for i in range(3):
+        single = sparsegpt_prune(ws[i], hs[i], 0.5, blocksize=8)
+        np.testing.assert_allclose(np.asarray(batched.weight[i]),
+                                   np.asarray(single.weight),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(batched.keep_mask[i]),
+                                      np.asarray(single.keep_mask))

@@ -143,28 +143,35 @@ def _start_mask_prewarm(adapter, new_params, mask_fn, sparsity_for,
         bp = new_params.get(bname)
         if bp is None:
             continue
+        # per-block group sizes must match the mask fn's batching
+        # (sparsegpt vmaps equal-(shape, sparsity) linears of one block)
+        counts = {}
         for p in linear_paths(bp):
             k = tree_get(bp, p)["kernel"]
             key = (k.shape, str(k.dtype),
                    float(sparsity_for("/".join(
                        adapter.subtree + (bname,) + p))))
-            shapes.setdefault(key, (p, bname))
+            counts[key] = counts.get(key, 0) + 1
+        for key, g in counts.items():
+            shapes[key + (g,)] = True
 
     if len(shapes) <= 0:
         return None
 
-    def one(shape, dtype, sp):
+    def one(shape, dtype, sp, g):
         from vlm_compression_tpu.ops.stats import init_calib_stats
 
         try:
-            kern = jnp.zeros(shape, dtype)
             st = init_calib_stats(shape[0], with_hessian=with_hessian)
             if with_hessian and st.hessian is not None:
                 st = st._replace(
                     hessian=jnp.eye(shape[0], dtype=jnp.float32),
                     nsamples=jnp.ones((), jnp.int32))
-            mask_fn(kernels={("warm",): kern}, stats={("warm",): st},
-                    sparsities={("warm",): sp})
+            kernels = {("warm", str(i)): jnp.zeros(shape, dtype)
+                       for i in range(g)}
+            mask_fn(kernels=kernels,
+                    stats={k: st for k in kernels},
+                    sparsities={k: sp for k in kernels})
         except Exception:  # noqa: BLE001 — warm-up must never break a sweep
             pass
 
@@ -174,7 +181,7 @@ def _start_mask_prewarm(adapter, new_params, mask_fn, sparsity_for,
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(len(shapes), 8)) as ex:
-            list(ex.map(lambda a: one(*a), list(shapes)))
+            list(ex.map(lambda key: one(*key), list(shapes)))
 
     t = threading.Thread(target=work, daemon=True)
     t.start()

@@ -57,20 +57,31 @@ def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
     """OBS prune-with-update; always writes updated kernels
     (sparsegpt_pruner.py:213-215 assigns weight.data unconditionally)."""
 
+    from vlm_compression_tpu.ops.sparsegpt import sparsegpt_prune_batched
+
     def fn(kernels, stats, sparsities):
-        masks, new_k, imps = {}, {}, {}
+        # group equal-(shape, sparsity) linears and solve them as ONE
+        # vmapped OBS program (T5 q/k/v/o share a shape; q/k/v share the
+        # Hessian): ~7 serial solves per block become ~3
+        groups = {}
         for p, k in kernels.items():
-            h = finalize_hessian(stats[p])
-            res = sparsegpt_prune(k.T, h, sparsities[p],
-                                  prune_n=prune_n, prune_m=prune_m,
-                                  blocksize=blocksize, percdamp=percdamp)
+            groups.setdefault((k.shape, float(sparsities[p])),
+                              []).append(p)
+        masks, new_k, imps = {}, {}, {}
+        for (shape, sp), paths in groups.items():
+            ws = jnp.stack([kernels[p].T for p in paths])
+            hs = jnp.stack([finalize_hessian(stats[p]) for p in paths])
+            res = sparsegpt_prune_batched(
+                ws, hs, sp, prune_n=prune_n, prune_m=prune_m,
+                blocksize=blocksize, percdamp=percdamp)
             # bound the async dispatch queue: each OBS solve holds
             # H + Hinv + fp32 weight copies (~0.5 GB on XL FFN shapes);
             # letting several queue concurrently OOMs a 16 GB chip
             jax.block_until_ready(res.weight)
-            masks[p] = res.keep_mask.T
-            new_k[p] = res.weight.T
-            imps[p] = res.importance
+            for i, p in enumerate(paths):
+                masks[p] = res.keep_mask[i].T
+                new_k[p] = res.weight[i].T
+                imps[p] = res.importance[i]
         return BlockPruneResult(masks, new_k, imps)
 
     return fn

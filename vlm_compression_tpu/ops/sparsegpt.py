@@ -76,11 +76,7 @@ class SparseGPTResult(NamedTuple):
     importance: jnp.ndarray  # () scalar mean |W²/diag(Hinv)²| (reference logs this)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("prune_n", "prune_m", "blocksize", "rows_static"),
-)
-def sparsegpt_prune(
+def _sparsegpt_prune_impl(
     weight_um: jnp.ndarray,
     hessian: jnp.ndarray,
     sparsity,
@@ -204,3 +200,32 @@ def sparsegpt_prune(
         losses=losses,
         importance=importance,
     )
+
+
+sparsegpt_prune = functools.partial(
+    jax.jit,
+    static_argnames=("prune_n", "prune_m", "blocksize", "rows_static"),
+)(_sparsegpt_prune_impl)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("prune_n", "prune_m", "blocksize"))
+def sparsegpt_prune_batched(
+    weights_um: jnp.ndarray,      # (G, units, in)
+    hessians: jnp.ndarray,        # (G, in, in)
+    sparsity,
+    prune_n: int = 0,
+    prune_m: int = 0,
+    blocksize: int = 128,
+    percdamp: float = 0.01,
+) -> SparseGPTResult:
+    """vmap over same-shape linears of one block: T5's q/k/v/o share a
+    shape (q/k/v even share the Hessian) — batching turns ~7 serial OBS
+    solves per block into ~3, and multiplies the row dimension the
+    column recursion vectorizes over."""
+
+    def one(w, h):
+        return _sparsegpt_prune_impl(w, h, sparsity, prune_n, prune_m,
+                                     blocksize, percdamp)
+
+    return jax.vmap(one)(weights_um, hessians)
