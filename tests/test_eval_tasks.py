@@ -141,3 +141,13 @@ def test_language_modeling_task(tiny):
     assert res[0]["n_tokens"] > 0
     m = task.after_evaluation(res)
     assert m["ppl"] > 0
+
+
+def test_vqa_answer_list_ranking(tiny, tmp_path):
+    model, variables = tiny
+    tok = SimpleTokenizer(vocab_size=96)
+    task = VQATask(num_beams=1, max_len=4, tokenizer=tok)
+    task.answer_list = ["yes", "no", "maybe"]
+    res = task.valid_step(FlaxModel(model, variables), _samples())
+    assert len(res) == 2
+    assert all(r["answer"] in task.answer_list for r in res)

@@ -67,11 +67,18 @@ class VQATask(BaseTask):
         return out
 
     def valid_step(self, model, samples) -> List[Dict]:
-        """model: FlaxModel of an InstructBLIP composition."""
+        """model: FlaxModel of an InstructBLIP composition.
+
+        With ``answer_list`` set, answers are RANKED by decoder NLL over
+        the candidate list instead of generated (the reference's
+        predict_answers(answer_list=...) ranking path)."""
         from vlm_compression_tpu.models.blip2_t5_instruct import (
             Blip2T5Instruct,
             generate_t5,
         )
+
+        if self.answer_list:
+            return self._rank_step(model, samples)
         from vlm_compression_tpu.models.blip2_vicuna_instruct import (
             generate_vicuna,
         )
@@ -106,6 +113,32 @@ class VQATask(BaseTask):
         for i, ans in enumerate(answers):
             rec = {"question_id": samples[self.sample_id_key][i],
                    "answer": ans}
+            if "answers" in samples:
+                rec["gt_answers"] = samples["answers"][i]
+            out.append(rec)
+        return out
+
+    def _rank_step(self, model, samples) -> List[Dict]:
+        from vlm_compression_tpu.datasets.tokenization import batch_labels
+        from vlm_compression_tpu.models.blip2_t5_instruct import (
+            predict_class_t5,
+        )
+
+        questions = [self.prompt.format(q) if "{}" in self.prompt
+                     else self.prompt + q for q in samples["text_input"]]
+        ids, mask = batch_encode(self.tokenizer, questions, 128)
+        q_ids, q_mask = batch_encode(self.qformer_tokenizer, questions, 128)
+        cands = batch_labels(self.tokenizer, self.answer_list, self.max_len)
+        nll = predict_class_t5(
+            model.module, model.variables,
+            jnp.asarray(samples["image"], jnp.float32),
+            jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(cands),
+            jnp.asarray(q_ids), jnp.asarray(q_mask))
+        best = np.asarray(jnp.argmin(nll, axis=-1))
+        out = []
+        for i, b in enumerate(best):
+            rec = {"question_id": samples[self.sample_id_key][i],
+                   "answer": self.answer_list[int(b)]}
             if "answers" in samples:
                 rec["gt_answers"] = samples["answers"][i]
             out.append(rec)
