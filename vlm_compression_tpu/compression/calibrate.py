@@ -30,11 +30,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from vlm_compression_tpu.ops.stats import (
-    CalibStats,
-    init_calib_stats,
-    update_calib_stats,
-)
+from vlm_compression_tpu.ops.stats import CalibStats, init_calib_stats
 
 
 # ---------------------------------------------------------------------------

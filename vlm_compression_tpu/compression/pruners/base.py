@@ -16,13 +16,9 @@ import logging
 from typing import Callable, Dict, Iterable, Optional, Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from vlm_compression_tpu.compression import adapters as A
-from vlm_compression_tpu.compression.calibrate import (
-    BlockPruneResult,
-    calibrate_and_prune_tower,
-)
+from vlm_compression_tpu.compression.calibrate import calibrate_and_prune_tower
 
 
 def convert_spec_to_list(spec: Optional[str]):

@@ -17,8 +17,6 @@ top-k.
 
 from __future__ import annotations
 
-from typing import Optional
-
 from vlm_compression_tpu.common.registry import registry
 from vlm_compression_tpu.compression import adapters as A
 from vlm_compression_tpu.compression.pruners import methods as M

@@ -18,8 +18,6 @@ RESSA scripts).  Functional flax equivalents:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -17,8 +17,6 @@ hard-negative variant)."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ Supports the same KV-cache decode protocol as the T5 decoder (see
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ Shares the KV-cache decode protocol of ``llama.py``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ from __future__ import annotations
 import json
 import logging
 import os
-import time
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -30,7 +29,6 @@ from vlm_compression_tpu.datasets.loaders import (
     DataLoader,
     IterLoader,
     MultiIterLoader,
-    PrefetchLoader,
     concat_datasets,
     reorg_datasets_by_split,
 )

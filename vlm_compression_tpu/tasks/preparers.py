@@ -8,7 +8,7 @@ compute by PrefetchLoader.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import numpy as np
 

@@ -7,7 +7,7 @@ RESSA step."""
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Callable
 
 import jax
 import optax

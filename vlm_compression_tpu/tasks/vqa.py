@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import logging
 import os
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List
 
 import jax.numpy as jnp
 import numpy as np
