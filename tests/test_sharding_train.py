@@ -1,0 +1,74 @@
+"""Multi-chip sharding of the FULL RESSA train step on the 8-device mesh:
+data x tensor axes, sharded masks, KD teacher+student+update in one pjit
+program (what the driver's dryrun_multichip validates, as a test)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vlm_compression_tpu.common.optims import make_adamw
+from vlm_compression_tpu.models.blip2_t5_instruct import (
+    Blip2T5Instruct,
+    Blip2T5InstructConfig,
+)
+from vlm_compression_tpu.models.eva_vit import EvaViTConfig
+from vlm_compression_tpu.models.qformer import QFormerConfig
+from vlm_compression_tpu.models.t5 import T5Config
+from vlm_compression_tpu.parallel.mesh import (
+    DEFAULT_RULES,
+    MeshConfig,
+    make_mesh,
+    mask_rules,
+    shard_params,
+)
+from vlm_compression_tpu.tasks.retrain import (
+    RessaTrainState,
+    make_kd_train_step,
+)
+
+
+def test_kd_step_on_data_model_mesh(devices8):
+    mesh = make_mesh(MeshConfig(data=4, model=2), devices8)
+    cfg = Blip2T5InstructConfig(
+        vit=EvaViTConfig.tiny(lora_rank=2),
+        qformer=QFormerConfig.tiny(lora_rank=2),
+        t5=T5Config.tiny(lora_rank=4),
+    )
+    model = Blip2T5Instruct(cfg)
+    b = 8
+    batch = dict(
+        image=jnp.ones((b, 28, 28, 3), jnp.float32) * 0.1,
+        input_ids=jnp.ones((b, 6), jnp.int32),
+        attention_mask=jnp.ones((b, 6), jnp.int32),
+        labels=jnp.ones((b, 5), jnp.int32),
+        qformer_input_ids=jnp.ones((b, 6), jnp.int32),
+        qformer_attention_mask=jnp.ones((b, 6), jnp.int32),
+    )
+    variables = dict(model.init(
+        jax.random.key(0), **batch, vit_mode="sparse_lora",
+        llm_mode="sparse_lora", qformer_mode="sparse_lora"))
+
+    with mesh:
+        params = shard_params(variables["params"], mesh, DEFAULT_RULES)
+        masks = shard_params(variables["masks"], mesh, mask_rules())
+        lora = shard_params(variables["lora"], mesh)
+        tx = make_adamw()
+        state = RessaTrainState.create(
+            {"params": params, "masks": masks, "lora": lora}, tx)
+        dsh = NamedSharding(mesh, P("data"))
+        sbatch = {k: jax.device_put(v, dsh) for k, v in batch.items()}
+        step = jax.jit(make_kd_train_step(model, tx, kl_weight=0.1, T=1.0))
+        state, metrics = step(state, sbatch, 1e-3)
+        state, metrics = step(state, sbatch, 1e-3)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2
+    # at least one kernel leaf actually sharded over the model axis
+    sharded = False
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        if hasattr(leaf, "sharding") and hasattr(leaf.sharding, "spec"):
+            if any(ax == "model" for ax in leaf.sharding.spec if ax):
+                sharded = True
+                break
+    assert sharded, "no kernel sharded on the model axis"
