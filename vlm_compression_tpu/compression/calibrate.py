@@ -248,8 +248,15 @@ def calibrate_and_prune_tower(
         # 2a. fold stats over batches — the fold happens INSIDE the jitted
         # block apply (one dispatch per block×batch; the token mask only
         # applies to activations with the same token dimension, handled in
-        # adapters._fold_captured_stats)
-        stats: Dict[Tuple[str, ...], CalibStats] = {}
+        # adapters._fold_captured_stats).  Stats are pre-initialized from
+        # the kernel shapes so every fold call shares ONE program (an
+        # empty-stats first call would compile a second structure, and each
+        # distinct executable costs seconds to load over a device tunnel).
+        stats: Dict[Tuple[str, ...], CalibStats] = {
+            p: init_calib_stats(
+                int(tree_get(bparams, p)["kernel"].shape[0]),
+                with_hessian=with_hessian)
+            for p in lpaths}
         for x, side in zip(xs, sides):
             bvars = {"params": bparams, "masks": bmasks}
             _, stats = jit_block(bvars, x, side, stats, mode=mode,
