@@ -218,3 +218,20 @@ def test_blipt5_joint_prune():
                          llm_mode="dense")
     assert np.isfinite(float(out_m["loss"]))
     assert float(out_m["loss"]) != pytest.approx(float(out_d["loss"]), rel=1e-6)
+
+
+def test_t5_wanda_24_structured():
+    """2:4 n:m through the pruner stack: every group of 4 consecutive
+    input weights of each unit keeps exactly 2 (BASELINE config grid)."""
+    rng = jax.random.PRNGKey(5)
+    cfg, module, variables, batches = _t5_setup(rng)
+    pruner = load_pruner("t5_wanda_pruner", FlaxModel(module, variables),
+                         batches, prune_spec="2-0.5-1.0-1.0",
+                         num_samples=4, prune_n=2, prune_m=4)
+    model, _ = pruner.prune(lora_model=True)
+    m = model.variables["masks"]["encoder"]["blocks_0"]["self_attn"]["q"]["mask"]
+    arr = np.asarray(m)             # (in, out) keep-mask
+    inp, out = arr.shape
+    groups = arr.T.reshape(out, inp // 4, 4)   # unit-major groups over inputs
+    counts = groups.sum(-1)
+    np.testing.assert_array_equal(counts, np.full_like(counts, 2))
