@@ -29,3 +29,22 @@ Layering (mirrors reference lavis/ layering, see SURVEY.md §1):
 __version__ = "0.1.0"
 
 from vlm_compression_tpu.common.registry import registry  # noqa: F401
+
+
+def load_pruner(name, model, data_loader, cfg=None, **kw):
+    """Top-level convenience re-export (heavy imports stay lazy)."""
+    from vlm_compression_tpu.compression import load_pruner as _lp
+
+    return _lp(name, model, data_loader, cfg, **kw)
+
+
+def load_model(*args, **kw):
+    from vlm_compression_tpu.models import load_model as _lm
+
+    return _lm(*args, **kw)
+
+
+def load_model_and_preprocess(*args, **kw):
+    from vlm_compression_tpu.models import load_model_and_preprocess as _lmp
+
+    return _lmp(*args, **kw)
