@@ -252,6 +252,11 @@ def calibrate_and_prune_tower(
         # the kernel shapes so every fold call shares ONE program (an
         # empty-stats first call would compile a second structure, and each
         # distinct executable costs seconds to load over a device tunnel).
+        import os as _os
+        import time as _time
+
+        _dbg = _os.environ.get("VCT_DEBUG_TIMING")
+        _t0 = _time.perf_counter()
         stats: Dict[Tuple[str, ...], CalibStats] = {
             p: init_calib_stats(
                 int(tree_get(bparams, p)["kernel"].shape[0]),
@@ -262,6 +267,11 @@ def calibrate_and_prune_tower(
             _, stats = jit_block(bvars, x, side, stats, mode=mode,
                                  capture=True, with_hessian=with_hessian,
                                  block_name=bname)
+        if _dbg:
+            jax.block_until_ready(stats)
+            print(f"    [dbg] stats {_time.perf_counter() - _t0:.2f}s",
+                  flush=True)
+            _t0 = _time.perf_counter()
 
         # 2b. score + mask (+ update)
         if warm_thread is not None:
@@ -271,6 +281,11 @@ def calibrate_and_prune_tower(
         skeys = {p: "/".join(adapter.subtree + (bname,) + p) for p in lpaths}
         sparsities = {p: sparsity_for(skeys[p]) for p in lpaths}
         result = mask_fn(kernels=kernels, stats=stats, sparsities=sparsities)
+        if _dbg:
+            jax.block_until_ready(result.masks)
+            print(f"    [dbg] masks {_time.perf_counter() - _t0:.2f}s",
+                  flush=True)
+            _t0 = _time.perf_counter()
 
         for p in lpaths:
             keep = result.masks[p]
@@ -297,6 +312,10 @@ def calibrate_and_prune_tower(
         xs = [jit_block(bvars, x, side, None, mode=mode, capture=False,
                         block_name=bname)[0]
               for x, side in zip(xs, sides)]
+        if _dbg:
+            jax.block_until_ready(xs)
+            print(f"    [dbg] replay {_time.perf_counter() - _t0:.2f}s",
+                  flush=True)
 
         if progress:
             dens = float(jnp.mean(jnp.stack(

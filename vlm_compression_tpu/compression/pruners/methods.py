@@ -57,9 +57,14 @@ def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
     """OBS prune-with-update; always writes updated kernels
     (sparsegpt_pruner.py:213-215 assigns weight.data unconditionally)."""
 
-    from vlm_compression_tpu.ops.sparsegpt import sparsegpt_prune_batched
+    from vlm_compression_tpu.ops.sparsegpt import (sparsegpt_prune,
+                                                   sparsegpt_prune_batched)
+
+    import os
+    import time
 
     def fn(kernels, stats, sparsities):
+        dbg = os.environ.get("VCT_DEBUG_TIMING")
         # group equal-(shape, sparsity) linears and solve them as ONE
         # vmapped OBS program (T5 q/k/v/o share a shape; q/k/v share the
         # Hessian): ~7 serial solves per block become ~3
@@ -69,15 +74,28 @@ def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
                               []).append(p)
         masks, new_k, imps = {}, {}, {}
         for (shape, sp), paths in groups.items():
-            ws = jnp.stack([kernels[p].T for p in paths])
-            hs = jnp.stack([finalize_hessian(stats[p]) for p in paths])
-            res = sparsegpt_prune_batched(
-                ws, hs, sp, prune_n=prune_n, prune_m=prune_m,
-                blocksize=blocksize, percdamp=percdamp)
+            t0 = time.perf_counter()
+            if len(paths) == 1:
+                # vmap costs up to 5× on a single member (batched
+                # gathers/slices degrade); call the plain program
+                res = sparsegpt_prune(
+                    kernels[paths[0]].T, finalize_hessian(stats[paths[0]]),
+                    sp, prune_n=prune_n, prune_m=prune_m,
+                    blocksize=blocksize, percdamp=percdamp)
+                res = jax.tree.map(lambda a: a[None], res)
+            else:
+                ws = jnp.stack([kernels[p].T for p in paths])
+                hs = jnp.stack([finalize_hessian(stats[p]) for p in paths])
+                res = sparsegpt_prune_batched(
+                    ws, hs, sp, prune_n=prune_n, prune_m=prune_m,
+                    blocksize=blocksize, percdamp=percdamp)
             # bound the async dispatch queue: each OBS solve holds
             # H + Hinv + fp32 weight copies (~0.5 GB on XL FFN shapes);
             # letting several queue concurrently OOMs a 16 GB chip
             jax.block_until_ready(res.weight)
+            if dbg:
+                print(f"      [dbg] obs G={len(paths)} {shape} "
+                      f"{time.perf_counter() - t0:.2f}s", flush=True)
             for i, p in enumerate(paths):
                 masks[p] = res.keep_mask[i].T
                 new_k[p] = res.weight[i].T
