@@ -158,6 +158,36 @@ class RunnerBase:
             prepared.append(self.prepare_batch(b))
         return prepared
 
+    def get_last_activations(self, num_data: int = 128, power: int = 2,
+                             batch_size: int = 16) -> Dict[str, Any]:
+        """Final model outputs over the first test split
+        (reference runner_base.py:617-656 → base_task.get_activations
+        :162-206): raw texts + logits, padded to a common length."""
+        import numpy as np
+
+        by_split = reorg_datasets_by_split(self.datasets)
+        splits = _get(self.run_cfg, "test_splits") or list(by_split)
+        dss = by_split.get(splits[0]) or next(iter(by_split.values()))
+        ds = dss[0] if len(dss) == 1 else concat_datasets(dss)
+        dl = DataLoader(ds, batch_size, shuffle=False)
+
+        texts, logits_list = [], []
+        seen = 0
+        for raw in dl:
+            texts.extend(t_in + t_out for t_in, t_out in zip(
+                raw["text_input"],
+                raw.get("text_output", raw["text_input"])))
+            batch = self.prepare_batch(raw)
+            out = self.model.module.apply(self.model.variables, **batch)
+            logits_list.append(np.asarray(out["logits"], np.float32))
+            seen += logits_list[-1].shape[0]
+            if seen >= num_data:
+                break
+        max_len = max(l.shape[1] for l in logits_list)
+        padded = [np.pad(l, ((0, 0), (0, max_len - l.shape[1]), (0, 0)))
+                  for l in logits_list]
+        return {"texts": texts, "logits": np.concatenate(padded, axis=0)}
+
     # ------------------------------------------------------------------
     # training (reference :373-431)
     # ------------------------------------------------------------------
