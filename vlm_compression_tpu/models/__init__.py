@@ -40,6 +40,18 @@ from vlm_compression_tpu.models.blip2_qformer import (  # noqa: F401,E402
 )
 
 
+def _ensure_zoo_imported():
+    """Import the legacy LAVIS zoo modules so their registry decorators
+    fire (lazy: the RESSA path never pays their import cost)."""
+    import vlm_compression_tpu.models.albef  # noqa: F401
+    import vlm_compression_tpu.models.alpro  # noqa: F401
+    import vlm_compression_tpu.models.blip1  # noqa: F401
+    import vlm_compression_tpu.models.clip_model  # noqa: F401
+    import vlm_compression_tpu.models.gpt_dialogue  # noqa: F401
+    import vlm_compression_tpu.models.pnp_vqa  # noqa: F401
+    import vlm_compression_tpu.models.t5_plain  # noqa: F401
+
+
 def load_model(name: str, model_type: str = "flant5xl", is_eval: bool = False,
                checkpoint: str = None, tiny: bool = False, seed: int = 0):
     """(module, variables) by registry name — counterpart of
@@ -66,7 +78,11 @@ def load_model_and_preprocess(name: str, model_type: str = "flant5xl",
     from vlm_compression_tpu.datasets.processors import load_processor
 
     module, variables = load_model(name, model_type, is_eval, **kw)
-    img = module.cfg.vit.img_size
+    c = module.cfg
+    vit = (getattr(c, "vit", None) or getattr(c, "eva", None)
+           or getattr(getattr(c, "blip", None), "vit", None)
+           or getattr(c, "timesformer", None))
+    img = vit.img_size if vit is not None else 224
     vis = {"train": load_processor("blip2_image_train",
                                    {"image_size": img}),
            "eval": load_processor("blip_image_eval", {"image_size": img})}

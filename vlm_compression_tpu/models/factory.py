@@ -80,10 +80,62 @@ def build_model_config(model_cfg) -> Tuple[str, object]:
                 qformer=QFormerConfig(lora_rank=r_q, lora_alpha=alpha),
                 llm=llm)
         return arch, cfg
+    legacy = build_legacy_config(arch, size, tiny, model_cfg)
+    if legacy is not None:
+        return arch, legacy
     raise ValueError(f"unknown arch {arch!r}")
 
 
+def build_legacy_config(arch: str, size: str, tiny: bool, model_cfg=None):
+    """Config for the legacy LAVIS zoo archs (SURVEY §2.3 last row);
+    returns None for unknown names."""
+    from vlm_compression_tpu.models.albef import AlbefConfig
+    from vlm_compression_tpu.models.alpro import AlproConfig
+    from vlm_compression_tpu.models.blip1 import Blip1Config
+    from vlm_compression_tpu.models.blip2_qformer import Blip2QformerConfig
+    from vlm_compression_tpu.models.clip_model import ClipConfig
+    from vlm_compression_tpu.models.gpt_dialogue import GPTDialogueConfig
+    from vlm_compression_tpu.models.pnp_vqa import PNPVQAConfig
+    from vlm_compression_tpu.models.t5 import T5Config
+    from vlm_compression_tpu.models.t5_plain import PlainT5Config
+
+    n_cls = int(_get(model_cfg, "num_classes", 2)) if model_cfg else 2
+    if arch.startswith("blip_"):
+        if tiny:
+            return Blip1Config.tiny(num_classes=n_cls)
+        return (Blip1Config.large(num_classes=n_cls) if "large" in size
+                else Blip1Config.base(num_classes=n_cls))
+    if arch.startswith("albef_"):
+        return (AlbefConfig.tiny(num_classes=n_cls) if tiny
+                else AlbefConfig.base(num_classes=n_cls))
+    if arch in ("clip", "clip_feature_extractor"):
+        return ClipConfig.tiny() if tiny else ClipConfig.base()
+    if arch in ("eva_clip", "eva_clip_feature_extractor"):
+        return ClipConfig.tiny_eva() if tiny else ClipConfig.eva_clip_g()
+    if arch.startswith("alpro_"):
+        return (AlproConfig.tiny(num_classes=n_cls) if tiny
+                else AlproConfig.base(num_classes=n_cls))
+    if arch == "gpt_dialogue":
+        return (GPTDialogueConfig.tiny() if tiny
+                else GPTDialogueConfig.base())
+    if arch in ("pnp_vqa", "img2prompt_vqa"):
+        return PNPVQAConfig.tiny() if tiny else PNPVQAConfig.base()
+    if arch == "pnp_unifiedqav2_fid":
+        return T5Config.tiny() if tiny else T5Config.flan_t5_xl()
+    if arch == "t5":
+        return (PlainT5Config.tiny() if tiny
+                else PlainT5Config.flan_t5_xl())
+    if arch in ("blip2", "blip2_feature_extractor",
+                "blip2_image_text_matching"):
+        return (Blip2QformerConfig.tiny() if tiny
+                else Blip2QformerConfig())
+    return None
+
+
 def example_batch(arch: str, cfg, batch: int = 1):
+    legacy = _legacy_example_batch(arch, cfg, batch)
+    if legacy is not None:
+        return legacy
     img = cfg.vit.img_size
     common = dict(
         image=jnp.zeros((batch, img, img, 3), jnp.float32),
@@ -100,18 +152,108 @@ def example_batch(arch: str, cfg, batch: int = 1):
     return common
 
 
+def _legacy_example_batch(arch: str, cfg, batch: int = 1):
+    """Init-time inputs for the legacy zoo archs (None for the core
+    instruct archs, which have their own layout above)."""
+    ids = jnp.ones((batch, 8), jnp.int32)
+    mask = jnp.ones((batch, 8), jnp.int32)
+    lbl = jnp.ones((batch, 6), jnp.int32)
+
+    def image(vitcfg):
+        s = vitcfg.img_size
+        return jnp.zeros((batch, s, s, 3), jnp.float32)
+
+    if arch in ("blip_nlvr",):
+        return dict(image0=image(cfg.vit), image1=image(cfg.vit),
+                    input_ids=ids, attention_mask=mask,
+                    labels=jnp.zeros((batch,), jnp.int32))
+    if arch in ("albef_nlvr",):
+        return dict(image0=image(cfg.vit), image1=image(cfg.vit),
+                    input_ids=ids, attention_mask=mask,
+                    labels=jnp.zeros((batch,), jnp.int32))
+    if arch in ("blip_classification", "albef_classification"):
+        return dict(image=image(cfg.vit), input_ids=ids,
+                    attention_mask=mask,
+                    labels=jnp.zeros((batch,), jnp.int32))
+    if arch in ("blip_caption", "blip_vqa", "blip_pretrain", "albef_vqa"):
+        return dict(image=image(cfg.vit), input_ids=ids,
+                    attention_mask=mask, labels=ids)
+    if arch == "albef_pretrain":
+        return dict(image=image(cfg.vit), input_ids=ids,
+                    attention_mask=mask, mlm_input_ids=ids, mlm_labels=ids)
+    if arch in ("blip_feature_extractor", "albef_feature_extractor"):
+        return dict(image=image(cfg.vit), input_ids=ids,
+                    attention_mask=mask, extract_mode="all")
+    if arch == "blip_image_text_matching":
+        return dict(image=image(cfg.vit), input_ids=ids,
+                    attention_mask=mask, match_head="all")
+    if arch in ("blip_retrieval", "albef_retrieval"):
+        return dict(image=image(cfg.vit), input_ids=ids,
+                    attention_mask=mask)
+    if arch in ("clip", "clip_feature_extractor"):
+        return dict(image=image(cfg.vit), input_ids=ids)
+    if arch in ("eva_clip", "eva_clip_feature_extractor"):
+        return dict(image=image(cfg.eva), input_ids=ids)
+    if arch.startswith("alpro_"):
+        t = cfg.timesformer
+        video = jnp.zeros((batch, t.num_frames, t.img_size, t.img_size, 3),
+                          jnp.float32)
+        out = dict(video=video, input_ids=ids, attention_mask=mask)
+        if arch == "alpro_qa":
+            out["labels"] = jnp.zeros((batch,), jnp.int32)
+        return out
+    if arch == "gpt_dialogue":
+        return dict(input_ids=ids,
+                    video_fts=jnp.zeros((batch, 2, cfg.len_video_ft),
+                                        jnp.float32),
+                    labels=ids)
+    if arch in ("pnp_vqa", "img2prompt_vqa"):
+        return dict(image=image(cfg.blip.vit), input_ids=ids,
+                    attention_mask=mask, cap_ids=ids,
+                    ctx_ids=jnp.ones((batch, 2, 8), jnp.int32),
+                    ctx_mask=jnp.ones((batch, 2, 8), jnp.int32),
+                    labels=lbl)
+    if arch == "pnp_unifiedqav2_fid":
+        return dict(ctx_ids=jnp.ones((batch, 2, 8), jnp.int32),
+                    ctx_mask=jnp.ones((batch, 2, 8), jnp.int32),
+                    labels=lbl)
+    if arch == "t5":
+        return dict(input_ids=ids, attention_mask=mask, labels=lbl)
+    if arch in ("blip2", "blip2_feature_extractor",
+                "blip2_image_text_matching"):
+        if arch == "blip2_image_text_matching":
+            return dict(image=image(cfg.vit), input_ids=ids,
+                        attention_mask=mask, match_head="all")
+        return dict(image=image(cfg.vit), text_ids=ids, text_mask=mask)
+    return None
+
+
 def build_model(model_cfg, seed: int = 0,
                 pretrained_variables: Optional[dict] = None):
     """(module, variables).  Variables are loaded from
     ``pretrained_variables`` when given, else randomly initialized with
     all LoRA/mask collections present (init runs in sparse_lora mode)."""
     arch, cfg = build_model_config(model_cfg)
-    model = (Blip2T5Instruct(cfg) if arch == "blip2_t5_instruct"
-             else Blip2VicunaInstruct(cfg))
+    if arch == "blip2_t5_instruct":
+        model = Blip2T5Instruct(cfg)
+    elif arch == "blip2_vicuna_instruct":
+        model = Blip2VicunaInstruct(cfg)
+    else:
+        from vlm_compression_tpu.models import _ensure_zoo_imported
+        from vlm_compression_tpu.common.registry import registry
+
+        _ensure_zoo_imported()
+        cls = registry.get_model_class(arch)
+        if cls is None:
+            raise ValueError(f"unknown arch {arch!r}")
+        model = cls(cfg)
     if pretrained_variables is not None:
         return model, pretrained_variables
     batch = example_batch(arch, cfg)
-    variables = dict(model.init(
-        jax.random.key(seed), **batch, vit_mode="sparse_lora",
-        llm_mode="sparse_lora", qformer_mode="sparse_lora"))
+    if arch in ("blip2_t5_instruct", "blip2_vicuna_instruct"):
+        variables = dict(model.init(
+            jax.random.key(seed), **batch, vit_mode="sparse_lora",
+            llm_mode="sparse_lora", qformer_mode="sparse_lora"))
+    else:
+        variables = dict(model.init(jax.random.key(seed), **batch))
     return model, variables
