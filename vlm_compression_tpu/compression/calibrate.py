@@ -128,19 +128,15 @@ MaskFn = Callable[..., BlockPruneResult]
 #                    sparsities: {path: float}) -> BlockPruneResult
 
 
-def _start_mask_prewarm(adapter, new_params, mask_fn, sparsity_for,
-                        with_hessian):
-    """Compile the mask fns for every distinct kernel shape in a
-    background thread (results discarded; the jit cache is shared)."""
-    import threading
-
+def _mask_shape_keys(adapter, params_subtree, sparsity_for):
+    """Distinct (shape, dtype, sparsity, group) tuples of a tower's linears
+    — per-block group sizes must match the mask fn's batching (sparsegpt
+    vmaps equal-(shape, sparsity) linears of one block)."""
     shapes = {}
     for bname in adapter.block_names:
-        bp = new_params.get(bname)
+        bp = params_subtree.get(bname)
         if bp is None:
             continue
-        # per-block group sizes must match the mask fn's batching
-        # (sparsegpt vmaps equal-(shape, sparsity) linears of one block)
         counts = {}
         for p in linear_paths(bp):
             k = tree_get(bp, p)["kernel"]
@@ -150,38 +146,121 @@ def _start_mask_prewarm(adapter, new_params, mask_fn, sparsity_for,
             counts[key] = counts.get(key, 0) + 1
         for key, g in counts.items():
             shapes[key + (g,)] = True
+    return list(shapes)
 
-    if len(shapes) <= 0:
+
+def _warm_mask_shape(mask_fn, with_hessian, shape, dtype, sp, g):
+    from vlm_compression_tpu.ops.stats import init_calib_stats
+
+    try:
+        st = init_calib_stats(shape[0], with_hessian=with_hessian)
+        if with_hessian and st.hessian is not None:
+            st = st._replace(
+                hessian=jnp.eye(shape[0], dtype=jnp.float32),
+                nsamples=jnp.ones((), jnp.int32))
+        kernels = {("warm", str(i)): jnp.zeros(shape, dtype)
+                   for i in range(g)}
+        mask_fn(kernels=kernels,
+                stats={k: st for k in kernels},
+                sparsities={k: sp for k in kernels})
+    except Exception:  # noqa: BLE001 — warm-up must never break a sweep
+        pass
+
+
+def _fold_warm_inputs(adapter, variables, batch0, with_hessian):
+    """Shape-derivation HALF of the fold-program warm.  Runs synchronously
+    (the sweep pops block subtrees as it goes — a background read of the
+    full tree would race); eval_shape is pure tracing, no device work."""
+    shapes = jax.eval_shape(
+        lambda v, b: adapter.stem_fn(v, b), variables, batch0)
+    x0, side = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params = variables["params"]
+    masks = variables.get("masks", {})
+    for p in adapter.subtree:
+        params = params[p]
+        masks = masks.get(p, {}) if isinstance(masks, dict) else {}
+    bname = adapter.block_names[0]
+    bparams = params[bname]
+    bmasks = masks.get(bname, {}) if isinstance(masks, dict) else {}
+    bvars = {"params": bparams, "masks": bmasks}
+    stats = {
+        p: init_calib_stats(
+            int(tree_get(bparams, p)["kernel"].shape[0]),
+            with_hessian=with_hessian)
+        for p in linear_paths(bparams)}
+    return bvars, x0, side, stats, bname
+
+
+def _warm_fold_programs(adapter, bvars, x0, side, stats, bname,
+                        with_hessian, mode):
+    """Execution HALF: run block 0's capture and replay programs once so
+    their executables compile/load before the sweep reaches the tower."""
+    try:
+        adapter.block_fn(bvars, x0, side, stats, mode=mode, capture=True,
+                         with_hessian=with_hessian, block_name=bname)
+        adapter.block_fn(bvars, x0, side, None, mode=mode, capture=False,
+                         block_name=bname)
+    except Exception:  # noqa: BLE001 — warm-up must never break a sweep
+        pass
+
+
+def start_global_prewarm(specs):
+    """Warm EVERY tower's executables concurrently, up front.
+
+    specs: list of dicts with keys adapter, params (tower subtree),
+    mask_fn, sparsity_for, with_hessian, and optionally variables + batch0
+    (enables fold/replay-program warming) and mode.
+
+    Loading a cached executable over a device tunnel costs 8-45 s EACH
+    (measured; fresh compiles 90-115 s) — serialized per-tower at sweep
+    entry they dominated the XL bench.  One shared thread pool makes the
+    total ≈ max instead of ≈ sum, overlapped with the first tower's
+    compute.  Returns a Thread to pass as calibrate_and_prune_tower's
+    ``warm_thread`` (idempotent join)."""
+    import threading
+
+    jobs = []
+    for spec in specs:
+        mask_fn = spec["mask_fn"]
+        wh = spec["with_hessian"]
+        for key in _mask_shape_keys(spec["adapter"], spec["params"],
+                                    spec["sparsity_for"]):
+            jobs.append((_warm_mask_shape, (mask_fn, wh) + tuple(key)))
+        if spec.get("variables") is not None and spec.get("batch0") is not None:
+            try:
+                inputs = _fold_warm_inputs(spec["adapter"], spec["variables"],
+                                           spec["batch0"], wh)
+            except Exception:  # noqa: BLE001 — warm-up must never break
+                inputs = None
+            if inputs is not None:
+                jobs.append((_warm_fold_programs,
+                             (spec["adapter"],) + inputs
+                             + (wh, spec.get("mode", "masked"))))
+    if not jobs:
         return None
-
-    def one(shape, dtype, sp, g):
-        from vlm_compression_tpu.ops.stats import init_calib_stats
-
-        try:
-            st = init_calib_stats(shape[0], with_hessian=with_hessian)
-            if with_hessian and st.hessian is not None:
-                st = st._replace(
-                    hessian=jnp.eye(shape[0], dtype=jnp.float32),
-                    nsamples=jnp.ones((), jnp.int32))
-            kernels = {("warm", str(i)): jnp.zeros(shape, dtype)
-                       for i in range(g)}
-            mask_fn(kernels=kernels,
-                    stats={k: st for k in kernels},
-                    sparsities={k: sp for k in kernels})
-        except Exception:  # noqa: BLE001 — warm-up must never break a sweep
-            pass
 
     def work():
         # XLA compilation releases the GIL: compiling the distinct shapes
         # concurrently collapses sum-of-compiles to ~max-of-compiles
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(len(shapes), 8)) as ex:
-            list(ex.map(lambda key: one(*key), list(shapes)))
+        with ThreadPoolExecutor(max_workers=min(len(jobs), 10)) as ex:
+            list(ex.map(lambda j: j[0](*j[1]), jobs))
 
     t = threading.Thread(target=work, daemon=True)
     t.start()
     return t
+
+
+def _start_mask_prewarm(adapter, new_params, mask_fn, sparsity_for,
+                        with_hessian):
+    """Single-tower mask-program prewarm (used when no global prewarm was
+    provided)."""
+    return start_global_prewarm([dict(adapter=adapter, params=new_params,
+                                      mask_fn=mask_fn,
+                                      sparsity_for=sparsity_for,
+                                      with_hessian=with_hessian)])
 
 
 def calibrate_and_prune_tower(
@@ -194,6 +273,7 @@ def calibrate_and_prune_tower(
     lora_model: bool = True,
     mode: str = "masked",
     progress: Optional[Callable[[str], None]] = None,
+    warm_thread=None,
 ) -> dict:
     """Run the layer sweep; returns updated `variables` (masks + kernels).
 
@@ -236,9 +316,12 @@ def calibrate_and_prune_tower(
 
     # pre-warm mask-kernel compiles concurrently with the first stats
     # passes: SparseGPT's OBS program compiles in ~90 s per distinct shape
-    # on a cold cache — serialized, that dominates sweep wall-clock
-    warm_thread = _start_mask_prewarm(adapter, new_params, mask_fn,
-                                      sparsity_for, with_hessian)
+    # on a cold cache — serialized, that dominates sweep wall-clock.  A
+    # caller-provided warm_thread (start_global_prewarm over every tower)
+    # supersedes the single-tower warm.
+    if warm_thread is None:
+        warm_thread = _start_mask_prewarm(adapter, new_params, mask_fn,
+                                          sparsity_for, with_hessian)
 
     for bi, bname in enumerate(adapter.block_names):
         bparams = new_params[bname]

@@ -64,7 +64,7 @@ class _MethodMixin:
         raise ValueError(self.method)
 
     def _prune_tower(self, adapter, variables, batches, sparsity_for,
-                     lora_model, tower="llm"):
+                     lora_model, tower="llm", warm_thread=None):
         from vlm_compression_tpu.compression.calibrate import (
             calibrate_and_prune_tower,
         )
@@ -77,6 +77,7 @@ class _MethodMixin:
             with_hessian=self.with_hessian,
             lora_model=lora_model,
             progress=logging.info,
+            warm_thread=warm_thread,
         )
 
 
@@ -196,8 +197,14 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
         vit_mode_for_llm = "dense" if (lora_model and vit_keep < 1.0) else "masked"
         llm_upstream = "dense" if (lora_model and t5_keep < 1.0) else "masked"
 
+        # ---- build every tower's adapter + sparsity fn UP FRONT so one
+        # global prewarm can load all executables concurrently while the
+        # first sweep computes (executable loads over a device tunnel cost
+        # 8-45 s each; serialized per tower they dominated the XL bench)
+        sweeps = []  # (adapter, sparsity_for, tower)
+
         if vit_spec and vit_keep < 1.0:
-            sfor = sfor_global or self.get_sparsity(1.0 - vit_keep)
+            vit_sfor = sfor_global or self.get_sparsity(1.0 - vit_keep)
 
             def vit_stem(variables, batch):
                 return module.apply(
@@ -205,8 +212,7 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
                     method=lambda m, img: m.visual_encoder.embed(img)), {}
 
             ad = A.make_vit_adapter(vit_cfg, vit_stem, ("visual_encoder",))
-            variables = self._prune_tower(ad, variables, batches, sfor,
-                                          lora_model, tower="vit")
+            sweeps.append((ad, vit_sfor, "vit"))
 
         if t5_spec and t5_keep < 1.0 and is_t5:
             sfor = sfor_global or self.get_sparsity(1.0 - t5_keep)
@@ -219,8 +225,7 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
 
             enc_ad = A.make_t5_encoder_adapter(
                 lm_cfg, enc_embeds_fn, ("t5_model", "encoder"))
-            variables = self._prune_tower(enc_ad, variables, batches, sfor,
-                                          lora_model, tower="llm")
+            sweeps.append((enc_ad, sfor, "llm"))
 
             def dec_inputs_fn(variables, batch):
                 return module.apply(
@@ -230,8 +235,7 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
 
             dec_ad = A.make_t5_decoder_adapter(
                 lm_cfg, dec_inputs_fn, ("t5_model", "decoder"))
-            variables = self._prune_tower(dec_ad, variables, batches, sfor,
-                                          lora_model, tower="llm")
+            sweeps.append((dec_ad, sfor, "llm"))
         elif t5_spec and t5_keep < 1.0:
             # decoder-only LLM (Vicuna): single sweep over llm_model blocks
             # (reference wanda_pruner.py:1032-1039, scripts/Vicuna/train.py
@@ -245,8 +249,19 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
                         m, b, vit_mode_for_llm))
 
             ad = A.make_llama_adapter(lm_cfg, llm_inputs_fn, ("llm_model",))
+            sweeps.append((ad, sfor, "llm"))
+
+        # NOTE on prewarm scope (measured on the axon tunnel): executable
+        # transfers are bandwidth-serialized and concurrent loads of the
+        # same program do NOT dedupe, so (a) warming fold programs races
+        # the sweep's own first fold call and pays every load twice
+        # (522 s vs 314 s sweep), and (b) a global all-tower mask warm
+        # front-loads contention without reducing total bytes (420 s).
+        # The per-tower warm inside calibrate_and_prune_tower (overlapped
+        # with that tower's first stats pass) remains the fastest.
+        for ad, sfor, tower in sweeps:
             variables = self._prune_tower(ad, variables, batches, sfor,
-                                          lora_model, tower="llm")
+                                          lora_model, tower=tower)
 
         self.model = FlaxModel(module, variables)
         if sfor_global is not None:

@@ -29,6 +29,31 @@ import jax
 import jax.numpy as jnp
 
 
+def _bisect_quantile(h: jnp.ndarray, q: float, iters: int = 45) -> jnp.ndarray:
+    """q-quantile by value-space bisection over count(h ≤ t).
+
+    jnp.quantile sorts: on a 5120² Hessian that is a 26M-element XLA sort
+    whose unrolled lowering adds megabytes to the executable (loaded over
+    a device tunnel at ~2 MB/s, executable size IS wall-clock).  45 rolled
+    counting passes converge the threshold to float precision with a
+    ~KB-scale HLO.  ±inf entries rank above/below every finite value,
+    matching their sorted positions."""
+    finite = jnp.isfinite(h)
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(finite, h, big))
+    hi = jnp.max(jnp.where(finite, h, -big))
+    k = jnp.asarray(round(q * h.size), jnp.int32)
+
+    def body(_, c):
+        lo, hi = c
+        mid = 0.5 * (lo + hi)
+        enough = jnp.sum(h <= mid) >= k
+        return jnp.where(enough, lo, mid), jnp.where(enough, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return hi
+
+
 def _clamp_infs(h: jnp.ndarray) -> jnp.ndarray:
     """Clamp ±inf entries to the 99.9% / 0.1% quantiles
     (sparsegpt_pruner.py:101-109,133-141)."""
@@ -36,8 +61,7 @@ def _clamp_infs(h: jnp.ndarray) -> jnp.ndarray:
     neg = jnp.isinf(h) & (h < 0)
 
     def fix(h, mask, q):
-        val = jnp.quantile(h, q)
-        return jnp.where(mask, val, h)
+        return jnp.where(mask, _bisect_quantile(h, q), h)
 
     h = jax.lax.cond(jnp.any(pos), lambda x: fix(x, pos, 0.999), lambda x: x, h)
     h = jax.lax.cond(jnp.any(neg), lambda x: fix(x, neg, 0.001), lambda x: x, h)
@@ -64,9 +88,38 @@ def damped_cholesky(h: jnp.ndarray, damp: jnp.ndarray, max_tries: int = 32) -> j
     return chol
 
 
+def _tri_inverse_lower(L: jnp.ndarray) -> jnp.ndarray:
+    """Exact lower-triangular inverse by Neumann doubling.
+
+    L = D(I + T) with T = D⁻¹·stril(L) strictly lower ⇒ nilpotent, so
+    (I + T)⁻¹ = Π_{j<⌈log₂n⌉} (I + (−T)^{2^j}) is a FINITE product of
+    matmuls evaluated in a rolled fori_loop — XLA's triangular_solve
+    lowering unrolls a blocked sweep into a multi-MB executable, while
+    this is ~KBs of HLO and runs at MXU rate."""
+    n = L.shape[0]
+    d = jnp.diagonal(L)
+    T = jnp.tril(L, k=-1) / d[:, None]
+    mm = functools.partial(jax.lax.dot_general,
+                           dimension_numbers=(((1,), (0,)), ((), ())),
+                           precision=jax.lax.Precision.HIGHEST)
+    steps = max(1, (n - 1).bit_length())
+
+    def body(_, c):
+        P, M = c
+        return P + mm(P, M), mm(M, M)
+
+    P0 = jnp.eye(n, dtype=L.dtype) - T
+    P, _ = jax.lax.fori_loop(0, steps - 1, body, (P0, mm(-T, -T)))
+    return P / d[None, :]
+
+
 def _cholesky_inverse(chol_lower: jnp.ndarray) -> jnp.ndarray:
-    eye = jnp.eye(chol_lower.shape[0], dtype=chol_lower.dtype)
-    return jax.scipy.linalg.cho_solve((chol_lower, True), eye)
+    """(LLᵀ)⁻¹ = L⁻ᵀL⁻¹ via the doubling triangular inverse (one matmul
+    instead of cho_solve's unrolled two-sided TRSM)."""
+    linv = _tri_inverse_lower(chol_lower)
+    return jax.lax.dot_general(
+        linv, linv, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 class SparseGPTResult(NamedTuple):
