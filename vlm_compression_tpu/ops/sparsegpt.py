@@ -68,11 +68,49 @@ def _clamp_infs(h: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
+def _cholesky_rolled(h: jnp.ndarray, panel: int = 128) -> jnp.ndarray:
+    """Blocked right-looking Cholesky as a ROLLED fori_loop over panels.
+
+    XLA's native Cholesky lowering unrolls its blocked sweep — ~3.5 MB of
+    HLO at 2048², growing with n (executable load over a device tunnel is
+    the XL bench's bottleneck).  Here each iteration factorizes one
+    128-panel (small native chol), forms the column strip with the
+    doubling triangular inverse, and applies the trailing SYRK update as
+    one full-matrix masked MXU matmul — constant HLO, n/128 iterations.
+    NaNs from an indefinite panel propagate exactly like the native
+    lowering, so damped retries work unchanged."""
+    n = h.shape[0]
+    rows = jnp.arange(n)
+    mm = functools.partial(jax.lax.dot_general,
+                           dimension_numbers=(((1,), (0,)), ((), ())),
+                           precision=jax.lax.Precision.HIGHEST)
+
+    def body(j, a):
+        i = j * panel
+        d = jax.lax.dynamic_slice(a, (i, i), (panel, panel))
+        ld = jnp.linalg.cholesky(d)
+        ldinv_t = _tri_inverse_lower(ld).T
+        strip = jax.lax.dynamic_slice(a, (0, i), (n, panel))
+        below = (rows >= i + panel)[:, None]
+        lcol = jnp.where(below, mm(strip, ldinv_t), 0.0)
+        new_strip = jax.lax.dynamic_update_slice(lcol, ld, (i, 0))
+        a = jax.lax.dynamic_update_slice(a, new_strip, (0, i))
+        # trailing SYRK: lcol is zero outside the below-rows, so the
+        # product only touches the (below, below) block
+        return a - mm(lcol, lcol.T)
+
+    a = jax.lax.fori_loop(0, n // panel, body, h)
+    return jnp.tril(a)
+
+
 def damped_cholesky(h: jnp.ndarray, damp: jnp.ndarray, max_tries: int = 32) -> jnp.ndarray:
     """Lower Cholesky factor, adding damp·I until NaN-free (bounded retries)."""
     eye = jnp.eye(h.shape[0], dtype=h.dtype)
+    panel = 128
 
     def attempt(hh):
+        if hh.shape[0] % panel == 0 and hh.shape[0] > panel:
+            return _cholesky_rolled(hh, panel)
         return jnp.linalg.cholesky(hh)
 
     def cond(carry):
@@ -95,7 +133,8 @@ def _tri_inverse_lower(L: jnp.ndarray) -> jnp.ndarray:
     (I + T)⁻¹ = Π_{j<⌈log₂n⌉} (I + (−T)^{2^j}) is a FINITE product of
     matmuls evaluated in a rolled fori_loop — XLA's triangular_solve
     lowering unrolls a blocked sweep into a multi-MB executable, while
-    this is ~KBs of HLO and runs at MXU rate."""
+    this is ~KBs of HLO and runs at MXU rate.  O(n³ log n): right for
+    panel-sized blocks; use _tri_inverse_lower_blocked beyond a panel."""
     n = L.shape[0]
     d = jnp.diagonal(L)
     T = jnp.tril(L, k=-1) / d[:, None]
@@ -113,10 +152,39 @@ def _tri_inverse_lower(L: jnp.ndarray) -> jnp.ndarray:
     return P / d[None, :]
 
 
+def _tri_inverse_lower_blocked(L: jnp.ndarray, panel: int = 128
+                               ) -> jnp.ndarray:
+    """O(n³) lower-triangular inverse: rolled block forward substitution.
+
+    Row-panel recursion X[i] = L_ii⁻¹(E_i − L[i, :] X) with X's unwritten
+    rows still zero — each iteration is one (panel, n)×(n, n) MXU matmul
+    plus a panel-sized doubling inverse, constant HLO.  6144²: ~25 ms vs
+    ~400 ms for full-size doubling (which is O(n³ log n))."""
+    n = L.shape[0]
+    if n % panel != 0 or n <= panel:
+        return _tri_inverse_lower(L)
+    mm = functools.partial(jax.lax.dot_general,
+                           dimension_numbers=(((1,), (0,)), ((), ())),
+                           precision=jax.lax.Precision.HIGHEST)
+    eye_p = jnp.eye(panel, dtype=L.dtype)
+
+    def body(j, x):
+        i = j * panel
+        lrow = jax.lax.dynamic_slice(L, (i, 0), (panel, n))
+        ld = jax.lax.dynamic_slice(L, (i, i), (panel, panel))
+        ldinv = _tri_inverse_lower(ld)
+        ei = jax.lax.dynamic_update_slice(
+            jnp.zeros((panel, n), L.dtype), eye_p, (0, i))
+        s = mm(ldinv, ei - mm(lrow, x))
+        return jax.lax.dynamic_update_slice(x, s, (i, 0))
+
+    return jax.lax.fori_loop(0, n // panel, body, jnp.zeros_like(L))
+
+
 def _cholesky_inverse(chol_lower: jnp.ndarray) -> jnp.ndarray:
-    """(LLᵀ)⁻¹ = L⁻ᵀL⁻¹ via the doubling triangular inverse (one matmul
+    """(LLᵀ)⁻¹ = L⁻ᵀL⁻¹ via the blocked triangular inverse (one matmul
     instead of cho_solve's unrolled two-sided TRSM)."""
-    linv = _tri_inverse_lower(chol_lower)
+    linv = _tri_inverse_lower_blocked(chol_lower)
     return jax.lax.dot_general(
         linv, linv, (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST)
