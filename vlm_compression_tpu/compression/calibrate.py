@@ -274,6 +274,7 @@ def calibrate_and_prune_tower(
     mode: str = "masked",
     progress: Optional[Callable[[str], None]] = None,
     warm_thread=None,
+    return_outputs: bool = False,
 ) -> dict:
     """Run the layer sweep; returns updated `variables` (masks + kernels).
 
@@ -413,4 +414,10 @@ def calibrate_and_prune_tower(
     if write_masks:
         out["masks"] = tree_set(variables.get("masks", {}), adapter.subtree,
                                 new_masks)
+    if return_outputs:
+        # xs are the per-batch activations replayed through every PRUNED
+        # block: the next tower's stem can consume them instead of
+        # re-running this tower (valid whenever that stem would run this
+        # tower in the same mode the sweep replayed it in)
+        return out, xs
     return out

@@ -64,7 +64,8 @@ class _MethodMixin:
         raise ValueError(self.method)
 
     def _prune_tower(self, adapter, variables, batches, sparsity_for,
-                     lora_model, tower="llm", warm_thread=None):
+                     lora_model, tower="llm", warm_thread=None,
+                     return_outputs=False):
         from vlm_compression_tpu.compression.calibrate import (
             calibrate_and_prune_tower,
         )
@@ -78,6 +79,7 @@ class _MethodMixin:
             lora_model=lora_model,
             progress=logging.info,
             warm_thread=warm_thread,
+            return_outputs=return_outputs,
         )
 
 
@@ -197,60 +199,18 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
         vit_mode_for_llm = "dense" if (lora_model and vit_keep < 1.0) else "masked"
         llm_upstream = "dense" if (lora_model and t5_keep < 1.0) else "masked"
 
-        # ---- build every tower's adapter + sparsity fn UP FRONT so one
-        # global prewarm can load all executables concurrently while the
-        # first sweep computes (executable loads over a device tunnel cost
-        # 8-45 s each; serialized per tower they dominated the XL bench)
-        sweeps = []  # (adapter, sparsity_for, tower)
-
-        if vit_spec and vit_keep < 1.0:
-            vit_sfor = sfor_global or self.get_sparsity(1.0 - vit_keep)
-
-            def vit_stem(variables, batch):
-                return module.apply(
-                    variables, batch["image"],
-                    method=lambda m, img: m.visual_encoder.embed(img)), {}
-
-            ad = A.make_vit_adapter(vit_cfg, vit_stem, ("visual_encoder",))
-            sweeps.append((ad, vit_sfor, "vit"))
-
-        if t5_spec and t5_keep < 1.0 and is_t5:
-            sfor = sfor_global or self.get_sparsity(1.0 - t5_keep)
-
-            def enc_embeds_fn(variables, batch):
-                return module.apply(
-                    variables, batch,
-                    method=lambda m, b: _blip_encoder_inputs(
-                        m, b, vit_mode_for_llm))
-
-            enc_ad = A.make_t5_encoder_adapter(
-                lm_cfg, enc_embeds_fn, ("t5_model", "encoder"))
-            sweeps.append((enc_ad, sfor, "llm"))
-
-            def dec_inputs_fn(variables, batch):
-                return module.apply(
-                    variables, batch,
-                    method=lambda m, b: _blip_decoder_inputs(
-                        m, b, vit_mode_for_llm, llm_upstream))
-
-            dec_ad = A.make_t5_decoder_adapter(
-                lm_cfg, dec_inputs_fn, ("t5_model", "decoder"))
-            sweeps.append((dec_ad, sfor, "llm"))
-        elif t5_spec and t5_keep < 1.0:
-            # decoder-only LLM (Vicuna): single sweep over llm_model blocks
-            # (reference wanda_pruner.py:1032-1039, scripts/Vicuna/train.py
-            # passes t5_model_prefix="llm_model")
-            sfor = sfor_global or self.get_sparsity(1.0 - t5_keep)
-
-            def llm_inputs_fn(variables, batch):
-                return module.apply(
-                    variables, batch,
-                    method=lambda m, b: _blip_llm_inputs(
-                        m, b, vit_mode_for_llm))
-
-            ad = A.make_llama_adapter(lm_cfg, llm_inputs_fn, ("llm_model",))
-            sweeps.append((ad, sfor, "llm"))
-
+        # Sweep CHAINING: in the non-LoRA path upstream towers run pruned
+        # ("masked" on physically-zeroed weights) — exactly what the
+        # engine's replayed per-batch activations already are.  Feeding
+        # them to the next tower's stem via an augmented batch key
+        # ("vit_x"/"enc_x") skips re-running the upstream towers AND
+        # shrinks the stem executables (the decoder stem otherwise inlines
+        # ViT+Q-Former+encoder: an 86 MB program whose load over the
+        # tunnel costs ~45 s).  The LoRA path keeps full stems: there the
+        # reference runs upstream towers DENSE during downstream
+        # calibration (wanda_pruner.py:941-967), which the replayed sparse
+        # activations would not match.
+        #
         # NOTE on prewarm scope (measured on the axon tunnel): executable
         # transfers are bandwidth-serialized and concurrent loads of the
         # same program do NOT dedupe, so (a) warming fold programs races
@@ -259,9 +219,106 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
         # front-loads contention without reducing total bytes (420 s).
         # The per-tower warm inside calibrate_and_prune_tower (overlapped
         # with that tower's first stats pass) remains the fastest.
-        for ad, sfor, tower in sweeps:
-            variables = self._prune_tower(ad, variables, batches, sfor,
-                                          lora_model, tower=tower)
+        prune_vit = bool(vit_spec and vit_keep < 1.0)
+        prune_llm = bool(t5_spec and t5_keep < 1.0)
+        chain = (not lora_model) and prune_vit and prune_llm
+        vit_outs = None
+
+        if prune_vit:
+            vit_sfor = sfor_global or self.get_sparsity(1.0 - vit_keep)
+
+            def vit_stem(variables, batch):
+                return module.apply(
+                    variables, batch["image"],
+                    method=lambda m, img: m.visual_encoder.embed(img)), {}
+
+            ad = A.make_vit_adapter(vit_cfg, vit_stem, ("visual_encoder",))
+            res = self._prune_tower(ad, variables, batches, vit_sfor,
+                                    lora_model, tower="vit",
+                                    return_outputs=chain)
+            variables, vit_outs = res if chain else (res, None)
+
+        if prune_llm and is_t5:
+            sfor = sfor_global or self.get_sparsity(1.0 - t5_keep)
+            if chain:
+                enc_batches = [dict(b, vit_x=x)
+                               for b, x in zip(batches, vit_outs)]
+                vit_outs = None  # free
+
+                def enc_embeds_fn(variables, batch):
+                    return module.apply(
+                        variables, batch,
+                        method=lambda m, b: _encoder_inputs_from_prefix(
+                            m, b, m.encode_image_from_features(
+                                b["vit_x"], b.get("qformer_input_ids"),
+                                b.get("qformer_attention_mask"))))
+            else:
+                enc_batches = batches
+
+                def enc_embeds_fn(variables, batch):
+                    return module.apply(
+                        variables, batch,
+                        method=lambda m, b: _blip_encoder_inputs(
+                            m, b, vit_mode_for_llm))
+
+            enc_ad = A.make_t5_encoder_adapter(
+                lm_cfg, enc_embeds_fn, ("t5_model", "encoder"))
+            res = self._prune_tower(enc_ad, variables, enc_batches, sfor,
+                                    lora_model, tower="llm",
+                                    return_outputs=chain)
+            variables, enc_outs = res if chain else (res, None)
+
+            if chain:
+                dec_batches = [dict(b, enc_x=x)
+                               for b, x in zip(enc_batches, enc_outs)]
+                enc_batches = enc_outs = None  # free vit_x/enc activations
+
+                def dec_inputs_fn(variables, batch):
+                    return module.apply(
+                        variables, batch,
+                        method=lambda m, b: _decoder_inputs_from_enc(m, b))
+            else:
+                dec_batches = batches
+
+                def dec_inputs_fn(variables, batch):
+                    return module.apply(
+                        variables, batch,
+                        method=lambda m, b: _blip_decoder_inputs(
+                            m, b, vit_mode_for_llm, llm_upstream))
+
+            dec_ad = A.make_t5_decoder_adapter(
+                lm_cfg, dec_inputs_fn, ("t5_model", "decoder"))
+            variables = self._prune_tower(dec_ad, variables, dec_batches,
+                                          sfor, lora_model, tower="llm")
+        elif prune_llm:
+            # decoder-only LLM (Vicuna): single sweep over llm_model blocks
+            # (reference wanda_pruner.py:1032-1039, scripts/Vicuna/train.py
+            # passes t5_model_prefix="llm_model")
+            sfor = sfor_global or self.get_sparsity(1.0 - t5_keep)
+            if chain:
+                llm_batches = [dict(b, vit_x=x)
+                               for b, x in zip(batches, vit_outs)]
+                vit_outs = None
+
+                def llm_inputs_fn(variables, batch):
+                    return module.apply(
+                        variables, batch,
+                        method=lambda m, b: _llm_inputs_from_prefix(
+                            m, b, m.encode_image_from_features(
+                                b["vit_x"], b.get("qformer_input_ids"),
+                                b.get("qformer_attention_mask"))))
+            else:
+                llm_batches = batches
+
+                def llm_inputs_fn(variables, batch):
+                    return module.apply(
+                        variables, batch,
+                        method=lambda m, b: _blip_llm_inputs(
+                            m, b, vit_mode_for_llm))
+
+            ad = A.make_llama_adapter(lm_cfg, llm_inputs_fn, ("llm_model",))
+            variables = self._prune_tower(ad, variables, llm_batches, sfor,
+                                          lora_model, tower="llm")
 
         self.model = FlaxModel(module, variables)
         if sfor_global is not None:
@@ -269,14 +326,11 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
         return self.model, sparsity_dict
 
 
-def _blip_llm_inputs(m, batch, vit_mode):
-    """(inputs_embeds, attention_mask) for the decoder-only LLM inside
-    InstructBLIP-Vicuna: [query prefix ⊕ packed prompt+answer embeds]."""
+def _llm_inputs_from_prefix(m, batch, prefix):
+    """[query prefix ⊕ packed prompt+answer embeds] given a computed
+    prefix (sweep chaining feeds the pruned ViT's replayed features)."""
     import jax.numpy as jnp
 
-    prefix = m.encode_image(
-        batch["image"], vit_mode,
-        batch.get("qformer_input_ids"), batch.get("qformer_attention_mask"))
     te = m.llm_model.embed_tokens(batch["text_input_ids"])
     embeds = jnp.concatenate([prefix, te], axis=1)
     b, nq = prefix.shape[0], prefix.shape[1]
@@ -286,13 +340,19 @@ def _blip_llm_inputs(m, batch, vit_mode):
     return embeds, mask
 
 
-def _blip_encoder_inputs(m, batch, vit_mode):
-    """(inputs_embeds, attention_mask) for the T5 encoder inside BLIP."""
-    import jax.numpy as jnp
-
+def _blip_llm_inputs(m, batch, vit_mode):
+    """(inputs_embeds, attention_mask) for the decoder-only LLM inside
+    InstructBLIP-Vicuna."""
     prefix = m.encode_image(
         batch["image"], vit_mode,
         batch.get("qformer_input_ids"), batch.get("qformer_attention_mask"))
+    return _llm_inputs_from_prefix(m, batch, prefix)
+
+
+def _encoder_inputs_from_prefix(m, batch, prefix):
+    """[query prefix ⊕ T5 token embeds] given a computed prefix."""
+    import jax.numpy as jnp
+
     te = m.t5_model.embed_tokens(batch["input_ids"])
     embeds = jnp.concatenate([prefix, te], axis=1)
     b, nq = prefix.shape[0], prefix.shape[1]
@@ -302,15 +362,40 @@ def _blip_encoder_inputs(m, batch, vit_mode):
     return embeds, mask
 
 
+def _blip_encoder_inputs(m, batch, vit_mode):
+    """(inputs_embeds, attention_mask) for the T5 encoder inside BLIP."""
+    prefix = m.encode_image(
+        batch["image"], vit_mode,
+        batch.get("qformer_input_ids"), batch.get("qformer_attention_mask"))
+    return _encoder_inputs_from_prefix(m, batch, prefix)
+
+
+def _decoder_tail(m, batch, enc_out, enc_mask):
+    dec_ids = shift_right(batch["labels"], m.cfg.t5.decoder_start_token_id,
+                          m.cfg.t5.pad_token_id)
+    dec_mask = (batch["labels"] != -100).astype("int32")
+    dec_embeds = m.t5_model.embed_tokens(dec_ids)
+    return dec_embeds, dec_mask, enc_out, enc_mask
+
+
 def _blip_decoder_inputs(m, batch, vit_mode, llm_mode):
     embeds, mask = _blip_encoder_inputs(m, batch, vit_mode)
     enc_out = m.t5_model.encoder(embeds, mask, mode=llm_mode)
-    labels = batch["labels"]
-    dec_ids = shift_right(labels, m.cfg.t5.decoder_start_token_id,
-                          m.cfg.t5.pad_token_id)
-    dec_mask = (labels != -100).astype("int32")
-    dec_embeds = m.t5_model.embed_tokens(dec_ids)
-    return dec_embeds, dec_mask, enc_out, mask
+    return _decoder_tail(m, batch, enc_out, mask)
+
+
+def _decoder_inputs_from_enc(m, batch):
+    """Decoder stem from the encoder sweep's replayed last-block output
+    (``enc_x``): only the encoder's final RMSNorm remains to apply."""
+    import jax.numpy as jnp
+
+    enc_out = m.t5_model.encoder.final_norm(batch["enc_x"])
+    b = batch["enc_x"].shape[0]
+    nq = m.cfg.qformer.num_query_tokens
+    enc_mask = jnp.concatenate(
+        [jnp.ones((b, nq), batch["attention_mask"].dtype),
+         batch["attention_mask"]], axis=1)
+    return _decoder_tail(m, batch, enc_out, enc_mask)
 
 
 # ---------------------------------------------------------------------------

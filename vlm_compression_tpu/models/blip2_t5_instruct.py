@@ -74,8 +74,18 @@ class Blip2T5Instruct(nn.Module):
                      qformer_input_ids=None, qformer_attention_mask=None,
                      qformer_mode="masked"):
         """Image (+instruction) → T5-space prefix embeddings (b, 32, d_model)."""
-        cfg = self.cfg
         feats = self.visual_encoder(image, mode=vit_mode)
+        return self.encode_image_from_features(
+            feats, qformer_input_ids, qformer_attention_mask, qformer_mode)
+
+    def encode_image_from_features(self, feats, qformer_input_ids=None,
+                                   qformer_attention_mask=None,
+                                   qformer_mode="masked"):
+        """Post-ViT half of encode_image: lets the calibration engine feed
+        a pruned tower's replayed activations to the next tower's stem
+        without re-running the ViT (and without the giant fused
+        ViT+Q-Former stem executable)."""
+        cfg = self.cfg
         feats = self.ln_vision(feats.astype(jnp.float32))
         q_out = self.qformer(feats, qformer_input_ids, qformer_attention_mask,
                              mode=qformer_mode)

@@ -75,8 +75,15 @@ class Blip2VicunaInstruct(nn.Module):
     def encode_image(self, image, vit_mode="masked",
                      qformer_input_ids=None, qformer_attention_mask=None,
                      qformer_mode="masked"):
-        cfg = self.cfg
         feats = self.visual_encoder(image, mode=vit_mode)
+        return self.encode_image_from_features(
+            feats, qformer_input_ids, qformer_attention_mask, qformer_mode)
+
+    def encode_image_from_features(self, feats, qformer_input_ids=None,
+                                   qformer_attention_mask=None,
+                                   qformer_mode="masked"):
+        """Post-ViT half (see blip2_t5_instruct.encode_image_from_features)."""
+        cfg = self.cfg
         feats = self.ln_vision(feats.astype(jnp.float32))
         q_out = self.qformer(feats, qformer_input_ids,
                              qformer_attention_mask, mode=qformer_mode)
