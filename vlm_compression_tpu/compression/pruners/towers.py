@@ -41,10 +41,16 @@ class _MethodMixin:
     without_dsnot: bool = False
     blocksize: int = 128
     percdamp: float = 0.01
+    # One fold program per tower structure shared by EVERY method: the
+    # Hessian accumulation rides along even for wanda/dsnot (its compute is
+    # one matmul per linear per batch; its absence would mean a second
+    # multi-MB fold executable per tower, and executable loads over a
+    # device tunnel dominate sweep wall-clock — see BENCH_NOTES.md).
+    unified_fold: bool = True
 
     @property
     def with_hessian(self) -> bool:
-        if self.method == "sparsegpt":
+        if self.unified_fold or self.method == "sparsegpt":
             return True
         return self.method == "dsnot" and self.initial_method == "sparsegpt"
 
