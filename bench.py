@@ -109,6 +109,21 @@ def main():
 
     import gc
 
+    def _sync(tree):
+        """Force completion of every queued device op.  On the axon tunnel
+        backend ``jax.block_until_ready`` returns without waiting
+        (measured); materializing a device-side scalar is the only
+        reliable barrier.  The TPU stream executes programs in dispatch
+        order, so reducing a few leaves spread across the tree (enqueued
+        after all prune work) fences everything before it."""
+        leaves = [l for l in jax.tree_util.tree_leaves(tree)
+                  if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
+                                                            jnp.floating)]
+        picks = leaves[:: max(1, len(leaves) // 8)][:8]
+        acc = jax.jit(lambda ls: sum(jnp.sum(l) for l in ls))(
+            [l.ravel()[:2] for l in picks])
+        return float(acc)
+
     def run(pruner_name):
         # fresh params per pruner so only ONE copy of the ~9 GB model is
         # resident (the prune pass itself rewrites kernels functionally)
@@ -118,7 +133,7 @@ def main():
         del variables
         t0 = time.perf_counter()
         fm, _ = pruner.prune(lora_model=False)
-        jax.block_until_ready(fm.variables)
+        _sync(fm.variables)
         dt = time.perf_counter() - t0
         del fm, pruner
         gc.collect()

@@ -158,3 +158,29 @@ def test_batched_matches_single():
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(batched.keep_mask[i]),
                                       np.asarray(single.keep_mask))
+
+
+def test_dc_factorization_paths():
+    """d&c Cholesky / triangular inverse / TRSM match one-shot lowerings at
+    a size that actually recurses (n > _DC_BASE, n % 128 == 0)."""
+    from vlm_compression_tpu.ops.sparsegpt import (
+        _cholesky_dc,
+        _tri_inverse_lower_dc,
+        _trsm_right_lower_t,
+    )
+
+    n = 1024
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((2 * n, n)).astype(np.float64)
+    H = (X.T @ X / n + np.eye(n)).astype(np.float32)
+
+    L = np.asarray(_cholesky_dc(jnp.asarray(H)))
+    want_L = np.linalg.cholesky(H.astype(np.float64))
+    np.testing.assert_allclose(L, want_L, rtol=2e-3, atol=2e-4)
+
+    Li = np.asarray(_tri_inverse_lower_dc(jnp.asarray(L)))
+    np.testing.assert_allclose(Li @ L, np.eye(n), atol=5e-3)
+
+    A = rng.standard_normal((64, n)).astype(np.float32)
+    Xs = np.asarray(_trsm_right_lower_t(jnp.asarray(A), jnp.asarray(L)))
+    np.testing.assert_allclose(Xs @ L.T, A, rtol=2e-3, atol=2e-3)

@@ -68,17 +68,27 @@ def _clamp_infs(h: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
+def _pick_panel(n: int) -> int:
+    """Largest panel in {512, 256, 128} dividing n: fewer rolled
+    iterations (less serial-latency and full-matrix traffic) at identical
+    total FLOPs and constant executable size."""
+    for p in (512, 256, 128):
+        if n % p == 0:
+            return p
+    return 0
+
+
 def _cholesky_rolled(h: jnp.ndarray, panel: int = 128) -> jnp.ndarray:
     """Blocked right-looking Cholesky as a ROLLED fori_loop over panels.
 
     XLA's native Cholesky lowering unrolls its blocked sweep — ~3.5 MB of
     HLO at 2048², growing with n (executable load over a device tunnel is
     the XL bench's bottleneck).  Here each iteration factorizes one
-    128-panel (small native chol), forms the column strip with the
-    doubling triangular inverse, and applies the trailing SYRK update as
-    one full-matrix masked MXU matmul — constant HLO, n/128 iterations.
-    NaNs from an indefinite panel propagate exactly like the native
-    lowering, so damped retries work unchanged."""
+    panel (panels > 128 recurse into a rolled-128 factorization), forms
+    the column strip with the triangular inverse, and applies the trailing
+    SYRK update as one full-matrix masked MXU matmul — constant HLO,
+    n/panel iterations.  NaNs from an indefinite panel propagate exactly
+    like the native lowering, so damped retries work unchanged."""
     n = h.shape[0]
     rows = jnp.arange(n)
     mm = functools.partial(jax.lax.dot_general,
@@ -88,8 +98,12 @@ def _cholesky_rolled(h: jnp.ndarray, panel: int = 128) -> jnp.ndarray:
     def body(j, a):
         i = j * panel
         d = jax.lax.dynamic_slice(a, (i, i), (panel, panel))
-        ld = jnp.linalg.cholesky(d)
-        ldinv_t = _tri_inverse_lower(ld).T
+        if panel > 128:
+            ld = _cholesky_rolled(d, 128)
+            ldinv_t = _tri_inverse_lower_blocked(ld).T
+        else:
+            ld = jnp.linalg.cholesky(d)
+            ldinv_t = _tri_inverse_lower(ld).T
         strip = jax.lax.dynamic_slice(a, (0, i), (n, panel))
         below = (rows >= i + panel)[:, None]
         lcol = jnp.where(below, mm(strip, ldinv_t), 0.0)
@@ -103,13 +117,78 @@ def _cholesky_rolled(h: jnp.ndarray, panel: int = 128) -> jnp.ndarray:
     return jnp.tril(a)
 
 
+_DC_BASE = 768  # d&c leaf size: 6144 → 8 leaves, HLO stays ~constant
+
+
+def _trsm_right_lower_t(a: jnp.ndarray, L: jnp.ndarray,
+                        base: int = _DC_BASE) -> jnp.ndarray:
+    """Solve X·Lᵀ = A (L lower-triangular) by divide & conquer.
+
+    Splitting L = [[La,0],[Lb,Lc]] gives X1 = A1·La⁻ᵀ and
+    X2 = (A2 − X1·Lbᵀ)·Lc⁻ᵀ — two half-size solves plus one big MXU
+    matmul per level (optimal O(m·k²) FLOPs, log-depth full-matrix
+    traffic).  Leaves multiply by the explicit triangular inverse."""
+    k = L.shape[0]
+    mm = functools.partial(jax.lax.dot_general,
+                           dimension_numbers=(((1,), (1,)), ((), ())),
+                           precision=jax.lax.Precision.HIGHEST)  # A·Bᵀ
+    if k <= base or k % 128 != 0:
+        return mm(a, _tri_inverse_lower_level_batched(L)
+                  if k > 128 else _tri_inverse_lower(L))
+    k1 = ((k // 2 + 127) // 128) * 128
+    La, Lb, Lc = L[:k1, :k1], L[k1:, :k1], L[k1:, k1:]
+    x1 = _trsm_right_lower_t(a[:, :k1], La, base)
+    x2 = _trsm_right_lower_t(a[:, k1:] - mm(x1, Lb), Lc, base)
+    return jnp.concatenate([x1, x2], axis=1)
+
+
+def _cholesky_dc(h: jnp.ndarray, base: int = _DC_BASE) -> jnp.ndarray:
+    """Divide & conquer Cholesky: L11 = chol(A11), L21 = A21·L11⁻ᵀ,
+    L22 = chol(A22 − L21·L21ᵀ).
+
+    Optimal n³/3 FLOPs vs the rolled panel loop's 2n³ (whose trailing
+    SYRK touches the FULL matrix every panel), while HLO stays small:
+    log₂(n/base) levels, each a couple of big matmuls + leaf factors.
+    NaNs from an indefinite submatrix propagate through the solves, so
+    damped retries see them exactly like the one-shot lowerings."""
+    n = h.shape[0]
+    if n <= base or n % 128 != 0:
+        if n % 128 == 0 and n > 128:
+            return _cholesky_rolled(h, 128)
+        return jnp.linalg.cholesky(h)
+    n1 = ((n // 2 + 127) // 128) * 128
+    A11, A21, A22 = h[:n1, :n1], h[n1:, :n1], h[n1:, n1:]
+    L11 = _cholesky_dc(A11, base)
+    L21 = _trsm_right_lower_t(A21, L11, base)
+    S = A22 - jax.lax.dot_general(
+        L21, L21, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    L22 = _cholesky_dc(S, base)
+    top = jnp.concatenate([L11, jnp.zeros((n1, n - n1), h.dtype)], axis=1)
+    return jnp.concatenate([top, jnp.concatenate([L21, L22], axis=1)], axis=0)
+
+
+# Factorization implementation: "rolled" = panel-rolled loops (constant
+# ~0.5 MB executables — executable bytes are wall-clock over a device
+# tunnel at ~2 MB/s); "dc" = inlined divide & conquer (fastest steady
+# state, but ~10 MB executables at 6144²: right when programs are loaded
+# once and reused many times, e.g. local TPU hosts).  Selectable via
+# VCT_OBS_FACTOR for benchmarking.
+import os as _os
+
+_FACTOR_IMPL = _os.environ.get("VCT_OBS_FACTOR", "rolled")
+
+
 def damped_cholesky(h: jnp.ndarray, damp: jnp.ndarray, max_tries: int = 32) -> jnp.ndarray:
     """Lower Cholesky factor, adding damp·I until NaN-free (bounded retries)."""
     eye = jnp.eye(h.shape[0], dtype=h.dtype)
-    panel = 128
 
     def attempt(hh):
-        if hh.shape[0] % panel == 0 and hh.shape[0] > panel:
+        n = hh.shape[0]
+        panel = _pick_panel(n)
+        if panel and n > panel:
+            if _FACTOR_IMPL == "dc":
+                return _cholesky_dc(hh)
             return _cholesky_rolled(hh, panel)
         return jnp.linalg.cholesky(hh)
 
@@ -172,7 +251,8 @@ def _tri_inverse_lower_blocked(L: jnp.ndarray, panel: int = 128
         i = j * panel
         lrow = jax.lax.dynamic_slice(L, (i, 0), (panel, n))
         ld = jax.lax.dynamic_slice(L, (i, i), (panel, panel))
-        ldinv = _tri_inverse_lower(ld)
+        ldinv = (_tri_inverse_lower_blocked(ld, 128) if panel > 128
+                 else _tri_inverse_lower(ld))
         ei = jax.lax.dynamic_update_slice(
             jnp.zeros((panel, n), L.dtype), eye_p, (0, i))
         s = mm(ldinv, ei - mm(lrow, x))
@@ -181,10 +261,82 @@ def _tri_inverse_lower_blocked(L: jnp.ndarray, panel: int = 128
     return jax.lax.fori_loop(0, n // panel, body, jnp.zeros_like(L))
 
 
+def _tri_inverse_lower_dc(L: jnp.ndarray, base: int = _DC_BASE
+                          ) -> jnp.ndarray:
+    """Divide & conquer lower-triangular inverse:
+    [[La,0],[Lb,Lc]]⁻¹ = [[La⁻¹,0],[−Lc⁻¹·Lb·La⁻¹, Lc⁻¹]].
+
+    Two half-size inverses + two big matmuls per level (~n³/3 FLOPs) vs
+    the rolled forward substitution's 2n³ full-width panel products."""
+    n = L.shape[0]
+    if n <= base or n % 128 != 0:
+        return _tri_inverse_lower_blocked(L)
+    n1 = ((n // 2 + 127) // 128) * 128
+    La, Lb, Lc = L[:n1, :n1], L[n1:, :n1], L[n1:, n1:]
+    ai = _tri_inverse_lower_dc(La, base)
+    ci = _tri_inverse_lower_dc(Lc, base)
+    mm = functools.partial(jax.lax.dot_general,
+                           dimension_numbers=(((1,), (0,)), ((), ())),
+                           precision=jax.lax.Precision.HIGHEST)
+    off = -mm(ci, mm(Lb, ai))
+    top = jnp.concatenate([ai, jnp.zeros((n1, n - n1), L.dtype)], axis=1)
+    return jnp.concatenate([top, jnp.concatenate([off, ci], axis=1)], axis=0)
+
+
+def _tri_inverse_lower_level_batched(L: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular inverse by LEVEL-BATCHED divide & conquer.
+
+    All leaf-diagonal blocks invert in ONE vmapped doubling program; then
+    per doubling level s = leaf, 2·leaf, …, n/2 every aligned block pair
+    combines X[c,a] = −X[c,c]·L[c,a]·X[a,a] in ONE batched bmm pair.  Same
+    ~⅔n³ FLOPs as plain d&c but log₂(n/leaf) program instances instead of
+    O(n/leaf): the compiled executable stays ~0.5 MB where inlined d&c
+    reached 2.4 MB (executable size is wall-clock over a device tunnel).
+
+    The leaf is n halved until it lands in [64, 384] so nb = n/leaf is a
+    power of two (6144→96, 5120→80, 2048→64, 1408→88 — every transformer
+    width here qualifies); odd sizes fall back to plain d&c."""
+    n = L.shape[0]
+    leaf = n
+    while leaf % 2 == 0 and leaf // 2 >= 64:
+        leaf //= 2
+    if leaf == n or leaf > 384 or leaf % 8 != 0:
+        return _tri_inverse_lower_dc(L)
+    nb = n // leaf
+    blocks = L.reshape(nb, leaf, nb, leaf)
+    diag = jnp.einsum("ibid->ibd", blocks)          # (nb, leaf, leaf) gather
+    dinv = jax.vmap(_tri_inverse_lower)(diag)
+    # scatter leaf inverses onto the block diagonal of X
+    X = jnp.zeros_like(L).reshape(nb, leaf, nb, leaf)
+    X = X.at[jnp.arange(nb), :, jnp.arange(nb), :].set(dinv)
+    X = X.reshape(n, n)
+
+    bmm = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                            precision=jax.lax.Precision.HIGHEST)
+    s = leaf
+    while s < n:
+        p = n // (2 * s)                             # aligned pairs
+        X4 = X.reshape(p, 2 * s, p, 2 * s)
+        L4 = L.reshape(p, 2 * s, p, 2 * s)
+        pr = jnp.arange(p)
+        ainv = X4[pr, :s, pr, :s]                    # (p, s, s)
+        cinv = X4[pr, s:, pr, s:]
+        b = L4[pr, s:, pr, :s]
+        off = -bmm(cinv, bmm(b, ainv))
+        X = X4.at[pr, s:, pr, :s].set(off).reshape(n, n)
+        s *= 2
+    return X
+
+
 def _cholesky_inverse(chol_lower: jnp.ndarray) -> jnp.ndarray:
-    """(LLᵀ)⁻¹ = L⁻ᵀL⁻¹ via the blocked triangular inverse (one matmul
-    instead of cho_solve's unrolled two-sided TRSM)."""
-    linv = _tri_inverse_lower_blocked(chol_lower)
+    """(LLᵀ)⁻¹ = L⁻ᵀL⁻¹ via a triangular inverse + one matmul (instead of
+    cho_solve's unrolled two-sided TRSM)."""
+    if _FACTOR_IMPL == "dc":
+        linv = _tri_inverse_lower_level_batched(chol_lower)
+    else:
+        panel = _pick_panel(chol_lower.shape[0])
+        linv = _tri_inverse_lower_blocked(chol_lower, panel or 128)
     return jax.lax.dot_general(
         linv, linv, (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST)
@@ -267,31 +419,33 @@ def _sparsegpt_prune_impl(
             # zero error, so per row r the pruned errors x solve the upper-
             # triangular system  x·A_r = w⁰_r⊙pruned_r  with
             #   A_r[k,i] = pruned_r[i]·Hinv1[k,i]  (k<i),
-            #   A_r[i,i] = pruned_r[i] ? d_i : 1.
-            # Solve it via Neumann doubling instead of a batched TRSM:
-            # A = D(I + T) with T = D⁻¹N strictly upper ⇒ nilpotent
-            # (T^B = 0), so A⁻¹ = Π_{j<log₂B} (I + (−T)^{2^j}) · D⁻¹ is an
-            # EXACT finite product — all batched MXU matmuls.  XLA's
-            # batched triangular_solve runs ~4× slower than this on TPU
-            # (measured 738 ms vs 167 ms per 48-block sweep at ViT
-            # shapes), and fp32 precision=HIGHEST is both faster and
-            # ~1e4× more accurate than default here.
+            #   A_r[i,i] = pruned_r[i] ? d_i : 1,
+            # which gives  x_i = pruned_i · (w_i − Σ_{k<i} x_k·U[k,i]) / d_i.
+            # Solve by FORWARD SUBSTITUTION vectorized over rows: step i is
+            # one (units,B)×(B,1) matvec against the masked strict-upper
+            # column — x's entries ≥ i are still zero, so the full product
+            # sums exactly k<i.  O(units·B²) total, ~250× fewer FLOPs than
+            # the previous Neumann-doubling matrix inverse (which squared a
+            # (units,B,B) tensor log₂B times; measured 4.4× slower at ViT
+            # shapes, and batched TRSM 4-5× slower still).  fp32
+            # precision=HIGHEST throughout: faster AND ~1e4× more accurate
+            # than default for these solves (measured).
             strict_u = jnp.triu(Hinv1, k=1)                      # (B, B)
             pr = prune1.astype(jnp.float32)                      # (units, B)
-            dA = jnp.where(prune1, d1[None, :], 1.0)             # (units, B)
-            N = pr[:, None, :] * strict_u[None]                  # cols gated
-            bmm = functools.partial(
-                jax.lax.dot_general,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                precision=jax.lax.Precision.HIGHEST)
-            M = -(N / dA[:, :, None])                            # −T
-            v = (W1 * pr)[:, None, :]                            # (units,1,B)
-            steps = max(1, (B - 1).bit_length())                 # ⌈log₂B⌉
-            for j in range(steps):
-                v = v + bmm(v, M)
-                if j < steps - 1:
-                    M = bmm(M, M)
-            x = v[:, 0, :] / dA
+            wp = W1 * pr
+
+            def subst(i, x):
+                u_col = jax.lax.dynamic_slice(strict_u, (0, i), (B, 1))
+                s = jnp.dot(x, u_col,
+                            precision=jax.lax.Precision.HIGHEST)  # (units,1)
+                num = jax.lax.dynamic_slice(wp, (0, i), (units, 1)) - s
+                pi = jax.lax.dynamic_slice(pr, (0, i), (units, 1))
+                di = jax.lax.dynamic_slice(d1, (i,), (1,))
+                return jax.lax.dynamic_update_slice(
+                    x, pi * num / di[None, :], (0, i))
+
+            x = jax.lax.fori_loop(
+                0, B, subst, jnp.zeros((units, B), jnp.float32))
             Err1 = x
             Q1 = jnp.where(prune1, 0.0,
                            W1 - jnp.dot(x, strict_u,
