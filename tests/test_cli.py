@@ -103,3 +103,65 @@ def test_cli_prune_train_save(workdir):
                 assert np.all(w[~m] == 0), "/".join(path)
 
     check(restored["params"], restored["masks"])
+
+
+def test_cli_pack_masks(workdir):
+    """--pack_masks bit-packs the saved masks; the packed model still runs."""
+    from vlm_compression_tpu.cli.train import main
+
+    root, cfg_path = workdir
+    stats = main([
+        "--cfg-path", cfg_path, "--job_id", "packjob",
+        "--prune", "--pruning_method", "blipt5_wanda_pruner",
+        "--t5_prune_spec", "2-0.5-1.0-1.0",
+        "--vit_prune_spec", "2-0.5-1.0-1.0",
+        "--num_data_for_prune", "4", "--prune_batch_size", "2",
+        "--train", "--sparse", "--tune_opt", "LVQ",
+        "--lora_r_l", "4", "--lora_r_v", "2", "--lora_r_q", "2",
+        "--pack_masks", "--save_pruned_model", "--tiny",
+    ])
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(stats["pruned_checkpoint"])
+
+    found = []
+
+    def walk(node, path=()):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+            elif k == "mask" and any(p.startswith("blocks_") for p in path):
+                found.append(v)
+
+    walk(restored["masks"])
+    assert found and all(np.asarray(m).dtype == np.uint32 for m in found)
+
+    # packed model forward == bool-mask forward
+    import jax
+    import jax.numpy as jnp
+
+    from vlm_compression_tpu.models.blip2_t5_instruct import (
+        Blip2T5Instruct,
+        Blip2T5InstructConfig,
+    )
+    from vlm_compression_tpu.ops.bitmask import unpack_masks_tree
+
+    model = Blip2T5Instruct(Blip2T5InstructConfig.tiny())
+    img = model.cfg.vit.img_size
+    batch = dict(
+        image=jnp.zeros((1, img, img, 3), jnp.float32),
+        input_ids=jnp.zeros((1, 6), jnp.int32),
+        attention_mask=jnp.ones((1, 6), jnp.int32),
+        labels=jnp.ones((1, 4), jnp.int32),
+    )
+    # orbax restores train-time shardings (params 8-way, masks packed on
+    # one device); normalize everything to host arrays for the parity check
+    restored = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), restored)
+    vp = {"params": restored["params"], "masks": restored["masks"]}
+    out_packed = model.apply(vp, **batch)
+    vb = {"params": restored["params"],
+          "masks": unpack_masks_tree(restored["masks"])}
+    out_bool = model.apply(vb, **batch)
+    np.testing.assert_allclose(np.asarray(out_packed["loss"]),
+                               np.asarray(out_bool["loss"]),
+                               rtol=1e-5, atol=1e-6)

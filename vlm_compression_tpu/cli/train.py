@@ -75,6 +75,11 @@ def parse_args(argv=None):
     p.add_argument("--T", type=float, default=2.0)
     p.add_argument("--max_train_samples", type=int, default=None)
 
+    p.add_argument("--pack_masks", action="store_true",
+                   help="bit-pack keep-masks after prune/merge (32 rows "
+                        "per uint32 word): 1/8th the mask HBM of bool "
+                        "masks; the masked forward expands words per-tile "
+                        "in VMEM (ops/bitmask.py)")
     p.add_argument("--model_size", default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny towers (tests / smoke runs)")
@@ -224,6 +229,14 @@ def main(argv=None):
         runner.model.variables = {
             "params": merged, "masks": v.get("masks", {})}
         stats["train_seconds"] = round(time.perf_counter() - t0, 2)
+
+    if args.pack_masks and runner.model.variables.get("masks"):
+        from vlm_compression_tpu.ops.bitmask import pack_masks_tree
+
+        v = dict(runner.model.variables)
+        v["masks"] = pack_masks_tree(v["masks"])
+        runner.model.variables = v
+        logging.info("masks bit-packed (32 rows/word)")
 
     if args.evaluate:
         t0 = time.perf_counter()

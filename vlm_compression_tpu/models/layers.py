@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from vlm_compression_tpu.ops.masked_linear import (
     lora_matmul_ref,
     masked_matmul,
+    masked_matmul_packed,
     sparse_lora_matmul,
 )
 
@@ -85,8 +86,17 @@ class SparseLinear(nn.Module):
                                      bool)).value
             else:
                 mask = None
+            # bit-packed masks (ops/bitmask.pack_masks_tree): uint32 words,
+            # 32 rows each — expanded per-tile in VMEM on the masked path,
+            # unpacked once for the LoRA paths
+            packed = mask is not None and mask.dtype == jnp.uint32
             if mode == MASKED or self.lora_rank == 0:
-                y = x @ k if mask is None else masked_matmul(x, k, mask)
+                if mask is None:
+                    y = x @ k
+                elif packed:
+                    y = masked_matmul_packed(x, k, mask)
+                else:
+                    y = masked_matmul(x, k, mask)
             else:
                 scale = self.lora_alpha / self.lora_rank
 
@@ -107,6 +117,10 @@ class SparseLinear(nn.Module):
                                       self.param_dtype)).value
                 a = lora_a.astype(dtype)
                 b = lora_b.astype(dtype)
+                if packed:
+                    from vlm_compression_tpu.ops.bitmask import unpack_mask
+
+                    mask = unpack_mask(mask, in_features)
                 if mask is None:
                     z = (x @ a) @ b
                     y = x @ k + (scale * z.astype(jnp.float32)).astype(dtype)

@@ -162,6 +162,101 @@ def _masked_matmul_bwd(res, g):
 masked_matmul.defvjp(_masked_matmul_fwd, _masked_matmul_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Bit-packed mask variant: y = x @ (W ⊙ unpack(M)); the mask travels as
+# uint32 words (32 rows per word) and is expanded INSIDE the kernel tile in
+# VMEM — 1/16th the mask HBM traffic of a bool mask next to bf16 weights,
+# and ~3% instead of 50% extra bytes on the weight stream.
+# ---------------------------------------------------------------------------
+
+
+def _mm_packed_kernel(x_ref, w_ref, m_ref, o_ref, acc_ref):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[:]
+    # interleaved layout (ops/bitmask.py): tile row r ↔ packed row r % 8,
+    # bit r // 8.  pltpu.repeat TILES its input (output row r = input row
+    # r % nrows), which is exactly the word lookup; the shift is iota//8.
+    words = pltpu.repeat(m_ref[:], 16, axis=0)            # (128, bn) uint32
+    shift = (jax.lax.broadcasted_iota(jnp.uint32, w.shape, 0)
+             // jnp.uint32(8))
+    bits = (words >> shift) & jnp.uint32(1)
+    w = jnp.where(bits == jnp.uint32(1), w, jnp.zeros((), w.dtype))
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _masked_matmul_packed_pallas(x2, w, packed):
+    m, k = x2.shape
+    k2, n = w.shape
+    bm = _pick(m, (256, 128, 64, 32, 16, 8))
+    bn = _pick(n, (512, 256, 128))
+    bk = 128  # pinned: the packed layout interleaves within 128-row groups
+    if bm is None or bn is None or k % bk != 0:
+        return None
+    grid = (m // bm, n // bn, k // bk)
+    return pl.pallas_call(
+        _mm_packed_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, l: (i, l)),
+            pl.BlockSpec((bk, bn), lambda i, j, l: (l, j)),
+            pl.BlockSpec((8, bn), lambda i, j, l: (l, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, l: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(x2, w, packed)
+
+
+def masked_matmul_packed_ref(x, w, packed):
+    from vlm_compression_tpu.ops.bitmask import unpack_mask
+
+    return masked_matmul_ref(x, w, unpack_mask(packed, w.shape[0]))
+
+
+@jax.custom_vjp
+def masked_matmul_packed(x, w, packed):
+    """y = x @ (w ⊙ unpack(packed)); mask unpacked per-tile in VMEM."""
+    return _masked_matmul_packed_impl(x, w, packed)
+
+
+def _masked_matmul_packed_impl(x, w, packed):
+    if jax.default_backend() != "tpu":
+        return masked_matmul_packed_ref(x, w, packed)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = _masked_matmul_packed_pallas(x2, w, packed)
+    if out is None:
+        return masked_matmul_packed_ref(x, w, packed)
+    return out.reshape(*lead, w.shape[1])
+
+
+def _masked_matmul_packed_fwd(x, w, packed):
+    return _masked_matmul_packed_impl(x, w, packed), (x, w, packed)
+
+
+def _masked_matmul_packed_bwd(res, g):
+    from vlm_compression_tpu.ops.bitmask import unpack_mask
+
+    x, w, packed = res
+    mask = unpack_mask(packed, w.shape[0])
+    dx, dw, _ = _masked_matmul_bwd((x, w, mask), g)
+    return dx, dw, None
+
+
+masked_matmul_packed.defvjp(_masked_matmul_packed_fwd,
+                            _masked_matmul_packed_bwd)
+
+
 def sparse_lora_matmul(x, w, mask, lora_a, lora_b, scale):
     """y = x @ ((w + a·b·scale) ⊙ mask).
 
