@@ -130,6 +130,13 @@ def main():
         variables = dict(_rand_params(shapes))
         pruner = load_pruner(pruner_name, FlaxModel(model, variables),
                              batches, **common)
+        # preload mask-kernel executables (Pruner.prewarm): over the device
+        # tunnel the OBS programs alone are ~50 MB of serialized executable
+        # whose upload would otherwise land inside the timed sweep
+        pruner.prewarm()
+        # drain the async queue (param/batch generation) before starting
+        # the timer — see _sync docstring
+        _sync(variables)
         del variables
         t0 = time.perf_counter()
         fm, _ = pruner.prune(lora_model=False)

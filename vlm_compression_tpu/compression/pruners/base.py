@@ -162,6 +162,73 @@ class LayerWisePrunerBase(BasePruner):
     def _allocation_prefixes(self):
         return None
 
+    # ------------------------------------------------------------------
+    def _prewarm_towers(self):
+        """(params_subtree_path, tower_tag, keep_ratio) per tower this
+        pruner will sweep — overridden by each orchestration base."""
+        return []
+
+    def prewarm(self, join: bool = True):
+        """Load/compile every mask-kernel executable this pruner will use,
+        concurrently, BEFORE the sweep.
+
+        Over a remote-device tunnel, executable deserialization+upload is
+        bandwidth-serialized at ~2 MB/s and the SparseGPT OBS programs sum
+        to ~50 MB — paid serially at each shape's first solve if not
+        warmed (measured ~45 s of the XL sweep).  The mask kernels are
+        module-level jitted functions, so programs warmed here are the
+        very executables the sweep calls.  Returns the warm thread
+        (already joined unless join=False).
+        """
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        from vlm_compression_tpu.compression.calibrate import (
+            _warm_mask_shape,
+            linear_paths,
+            tree_get,
+        )
+
+        variables = self.model.variables
+        jobs = {}
+        for subtree, tower, keep in self._prewarm_towers():
+            if keep is None or keep >= 1.0:
+                continue
+            params = variables["params"]
+            for p in subtree:
+                params = params.get(p, {})
+            mask_fn = self.make_mask_fn(True, tower=tower)
+            for bname, bparams in params.items():
+                if not isinstance(bparams, dict):
+                    continue
+                counts = {}
+                for lp in linear_paths(bparams):
+                    kern = tree_get(bparams, lp)["kernel"]
+                    key = (kern.shape, str(kern.dtype))
+                    counts[key] = counts.get(key, 0) + 1
+                for (shape, dt), g in counts.items():
+                    jobs[(shape, dt, 1.0 - keep, g)] = mask_fn
+
+        if not jobs:
+            return None
+
+        def work():
+            with ThreadPoolExecutor(max_workers=min(len(jobs), 10)) as ex:
+                list(ex.map(
+                    lambda it: _warm_mask_shape(
+                        it[1], self.with_hessian, *it[0]),
+                    jobs.items()))
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        # the engine's per-tower self-warm would re-EXECUTE the warm solves
+        # inside the sweep; remember this thread so _prune_tower hands it
+        # over instead (joining an already-finished thread is free)
+        self._prewarm_thread = t
+        if join:
+            t.join()
+        return t
+
     def _prune_tower(self, adapter, variables, batches, sparsity_for,
                      lora_model):
         return calibrate_and_prune_tower(

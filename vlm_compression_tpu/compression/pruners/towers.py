@@ -84,7 +84,7 @@ class _MethodMixin:
             with_hessian=self.with_hessian,
             lora_model=lora_model,
             progress=logging.info,
-            warm_thread=warm_thread,
+            warm_thread=warm_thread or getattr(self, "_prewarm_thread", None),
             return_outputs=return_outputs,
         )
 
@@ -96,6 +96,11 @@ class _MethodMixin:
 
 class T5PrunerBase(_MethodMixin, LayerWisePrunerBase):
     """Prunes a bare T5ForConditionalGeneration (driver config #1 shape)."""
+
+    def _prewarm_towers(self):
+        spec = convert_spec_to_list(self.prune_spec or self.t5_prune_spec)
+        keep = spec[1] if spec else None
+        return [(("encoder",), "llm", keep), (("decoder",), "llm", keep)]
 
     def prune(self, lora_model: bool = True):
         module: T5ForConditionalGeneration = self.model.module
@@ -148,6 +153,10 @@ class T5PrunerBase(_MethodMixin, LayerWisePrunerBase):
 
 
 class ViTPrunerBase(_MethodMixin, LayerWisePrunerBase):
+    def _prewarm_towers(self):
+        spec = convert_spec_to_list(self.prune_spec or self.vit_prune_spec)
+        return [((), "vit", spec[1] if spec else None)]
+
     def prune(self, lora_model: bool = True):
         module: EvaViT = self.model.module
         cfg = module.cfg
@@ -175,6 +184,21 @@ class ViTPrunerBase(_MethodMixin, LayerWisePrunerBase):
 
 
 class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
+    def _prewarm_towers(self):
+        module = self.model.module
+        is_t5 = hasattr(module.cfg, "t5")
+        vit_spec = convert_spec_to_list(self.vit_prune_spec)
+        t5_spec = convert_spec_to_list(self.t5_prune_spec)
+        vit_keep = vit_spec[1] if vit_spec else None
+        t5_keep = t5_spec[1] if t5_spec else None
+        towers = [((self.vit_model_prefix,), "vit", vit_keep)]
+        if is_t5:
+            towers += [((self.t5_model_prefix, "encoder"), "llm", t5_keep),
+                       ((self.t5_model_prefix, "decoder"), "llm", t5_keep)]
+        else:
+            towers += [((self.t5_model_prefix,), "llm", t5_keep)]
+        return towers
+
     def _allocation_prefixes(self):
         # reference wanda_pruner.py:876-881: only params under the t5/vit
         # prefixes take part in sparsity allocation (Q-Former excluded)
