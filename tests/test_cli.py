@@ -165,3 +165,21 @@ def test_cli_pack_masks(workdir):
     np.testing.assert_allclose(np.asarray(out_packed["loss"]),
                                np.asarray(out_bool["loss"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_cli_separate_prune_cfg(workdir):
+    """--prune-cfg-path builds the calibration loader from its own config
+    tree (reference train.py:538)."""
+    from vlm_compression_tpu.cli.train import main
+
+    root, cfg_path = workdir
+    stats = main([
+        "--cfg-path", cfg_path, "--prune-cfg-path", cfg_path,
+        "--job_id", "sepcfg",
+        "--prune", "--pruning_method", "blipt5_wanda_pruner",
+        "--t5_prune_spec", "2-0.5-1.0-1.0",
+        "--vit_prune_spec", "2-0.5-1.0-1.0",
+        "--num_data_for_prune", "4", "--prune_batch_size", "2",
+        "--tiny",
+    ])
+    assert "prune_seconds" in stats

@@ -84,3 +84,44 @@ def test_evaluate_cli_prune_and_eval(workdir):
         "--strip_lora_masks",
     ])
     assert "val" in stats2["eval_results"]
+
+
+def test_evaluate_cli_tower_checkpoints_and_knobs(workdir):
+    """Per-tower checkpoint grafting + the evaluate_old knob surface."""
+    from vlm_compression_tpu.cli.evaluate import main
+
+    root, cfg_path = workdir
+    stats = main([
+        "--cfg-path", cfg_path, "--job_id", "ev3", "--tiny",
+        "--prune", "--pruning_method", "blipt5_dsnot_pruner",
+        "--t5_prune_spec", "2-0.5-1.0-1.0",
+        "--vit_prune_spec", "2-0.5-1.0-1.0",
+        "--initial_method", "magnitude",
+        "--num_data_for_prune", "2", "--prune_batch_size", "2",
+        "--power", "2", "--save_pruned_model",
+    ])
+    assert os.path.isdir(stats["pruned_checkpoint"])
+
+    # graft the saved model's towers into a fresh run (whole-model trees
+    # are accepted: the prefix subtree is extracted)
+    stats2 = main([
+        "--cfg-path", cfg_path, "--job_id", "ev4", "--tiny",
+        "--vit_pruned_checkpoint", stats["pruned_checkpoint"],
+        "--t5_pruned_checkpoint", stats["pruned_checkpoint"],
+    ])
+    assert "val" in stats2["eval_results"]
+
+
+def test_interpolate_pos_embed():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vlm_compression_tpu.models.eva_vit import interpolate_pos_embed
+
+    pe = jnp.asarray(np.random.default_rng(0).standard_normal((1, 17, 8)),
+                     jnp.float32)
+    out = interpolate_pos_embed(pe, 49)           # 4x4 grid -> 7x7
+    assert out.shape == (1, 50, 8)
+    np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(pe[:, 0]))
+    # same size = identity
+    assert interpolate_pos_embed(pe, 16) is pe

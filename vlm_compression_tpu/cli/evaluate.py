@@ -33,9 +33,33 @@ def parse_args(argv=None):
     p.add_argument("--num_data_for_prune", type=int, default=128)
     p.add_argument("--prune_batch_size", type=int, default=1)
     p.add_argument("--pruned_checkpoint", default=None)
+    # per-tower pruned checkpoints (reference evaluate_old loads ViT/T5
+    # state dicts separately, interpolating ViT position embeddings when
+    # image sizes differ)
+    p.add_argument("--vit_pruned_checkpoint", default=None)
+    p.add_argument("--t5_pruned_checkpoint", default=None)
     p.add_argument("--strip_lora_masks", action="store_true",
                    help="drop lora/mask entries from the restored "
                         "checkpoint (evaluate_new.py:229-262)")
+    # sparsity-allocator knobs (evaluate_old passes the same surface as
+    # train.py)
+    p.add_argument("--sparsity_ratio_granularity", default=None)
+    p.add_argument("--score_method", default="obd_avg")
+    p.add_argument("--num_data_first_stage", type=int, default=32)
+    p.add_argument("--num_noise", type=int, default=1)
+    p.add_argument("--max_sparsity_per_layer", type=float, default=0.8)
+    p.add_argument("--sparsity_dict", default=None)
+    p.add_argument("--t5_model_prefix", default="t5_model")
+    p.add_argument("--vit_model_prefix", default="visual_encoder")
+    p.add_argument("--power", type=int, default=2)
+    # DSnoT knobs
+    p.add_argument("--initial_method", default="wanda")
+    p.add_argument("--without_DSnoT", dest="without_dsnot",
+                   action="store_true")
+    # global-pruner family knobs (blipt5_{mag,rand,aobd,mezo}_pruner)
+    p.add_argument("--is_global", action="store_true")
+    p.add_argument("--prune_per_model", action="store_true")
+    p.add_argument("--iteration", type=int, default=1)
     p.add_argument("--save_pruned_model", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--model_size", default=None)
@@ -48,6 +72,41 @@ def strip_lora_masks(variables: dict) -> dict:
     state-dict keys containing 'lora' or 'mask' when loading a RESSA
     checkpoint for plain evaluation."""
     return {"params": variables["params"]}
+
+
+def _graft_tower_checkpoints(module, variables, vit_path=None, t5_path=None,
+                             vit_prefix="visual_encoder",
+                             t5_prefix="t5_model"):
+    """Load per-tower pruned checkpoints into the composite model
+    (reference train.py:369-400 / evaluate_old: tower state dicts loaded
+    with prefix rewriting; ViT position embeddings interpolated when the
+    checkpoint was trained at a different image size)."""
+    import orbax.checkpoint as ocp
+
+    from vlm_compression_tpu.models.eva_vit import interpolate_pos_embed
+
+    ck = ocp.StandardCheckpointer()
+
+    def sub(tree, prefix):
+        # accept either a whole-model tree (graft the prefix subtree) or a
+        # bare tower tree
+        node = tree.get("params", tree)
+        return node.get(prefix, node)
+
+    params = dict(variables["params"])
+    if vit_path:
+        loaded = sub(ck.restore(os.path.abspath(vit_path)), vit_prefix)
+        pe = loaded.get("pos_embed")
+        want = params[vit_prefix]["pos_embed"]
+        if pe is not None and pe.shape != want.shape:
+            loaded = dict(loaded, pos_embed=interpolate_pos_embed(
+                pe, want.shape[1] - 1))
+        params[vit_prefix] = loaded
+    if t5_path:
+        params[t5_prefix] = sub(ck.restore(os.path.abspath(t5_path)),
+                                t5_prefix)
+    variables["params"] = params
+    return variables
 
 
 def main(argv=None):
@@ -90,6 +149,13 @@ def main(argv=None):
             pretrained = strip_lora_masks(pretrained)
     module, variables = build_model(model_cfg, seed=args.seed,
                                     pretrained_variables=pretrained)
+    if args.vit_pruned_checkpoint or args.t5_pruned_checkpoint:
+        variables = _graft_tower_checkpoints(
+            module, dict(variables),
+            vit_path=args.vit_pruned_checkpoint,
+            t5_path=args.t5_pruned_checkpoint,
+            vit_prefix=args.vit_model_prefix,
+            t5_prefix=args.t5_model_prefix)
     model = FlaxModel(module, variables)
     arch = _get(model_cfg, "arch", "blip2_t5_instruct")
 
@@ -119,17 +185,37 @@ def main(argv=None):
 
         t0 = time.perf_counter()
         batches = runner.get_dataloader_for_importance_computation(
-            num_data=args.num_data_for_prune,
+            num_data=args.num_data_for_prune, power=args.power,
             batch_size=args.prune_batch_size)
         jbatches = [
             {k: jnp.asarray(v) for k, v in b.items()
              if isinstance(v, np.ndarray) and v.dtype != object}
             for b in batches]
-        pruner = load_pruner(args.pruning_method, model, jbatches,
-                             t5_prune_spec=args.t5_prune_spec,
-                             vit_prune_spec=args.vit_prune_spec,
-                             prune_n=args.prune_n, prune_m=args.prune_m,
-                             num_samples=args.num_data_for_prune)
+        sparsity_dict_loaded = None
+        if args.sparsity_dict:
+            import yaml
+
+            with open(args.sparsity_dict) as f:
+                sparsity_dict_loaded = yaml.safe_load(f)
+        pruner = load_pruner(
+            args.pruning_method, model, jbatches,
+            t5_prune_spec=args.t5_prune_spec,
+            vit_prune_spec=args.vit_prune_spec,
+            prune_n=args.prune_n, prune_m=args.prune_m,
+            num_samples=args.num_data_for_prune,
+            sparsity_ratio_granularity=args.sparsity_ratio_granularity,
+            score_method=args.score_method,
+            num_data_first_stage=args.num_data_first_stage,
+            num_noise=args.num_noise,
+            max_sparsity_per_layer=args.max_sparsity_per_layer,
+            sparsity_dict=sparsity_dict_loaded,
+            t5_model_prefix=args.t5_model_prefix,
+            vit_model_prefix=args.vit_model_prefix,
+            initial_method=args.initial_method,
+            without_dsnot=args.without_dsnot,
+            is_global=args.is_global,
+            prune_per_model=args.prune_per_model,
+            iteration=args.iteration)
         # evaluate_old.py:329 prunes WITHOUT the LoRA wrapper: weights
         # physically zeroed
         model, _ = pruner.prune(lora_model=False)

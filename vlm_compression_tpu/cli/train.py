@@ -28,6 +28,11 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="RESSA prune/retrain/evaluate")
     p.add_argument("--cfg-path", default=None)
+    # separate configs for the prune calibration loader and the eval stage
+    # (reference train.py builds three Runner configs: train.py:538 swaps in
+    # prune_cfg_path, :651 eval_cfg_path)
+    p.add_argument("--prune-cfg-path", default=None)
+    p.add_argument("--eval-cfg-path", default=None)
     p.add_argument("--options", nargs="+", default=None)
     p.add_argument("--job_id", default=None)
 
@@ -171,7 +176,17 @@ def main(argv=None):
         t0 = time.perf_counter()
         timer_ctx = timer.phase("prune")
         timer_ctx.__enter__()
-        batches = runner.get_dataloader_for_importance_computation(
+        # calibration data may come from its own config (reference
+        # train.py:538: the prune runner is built on prune_cfg_path, forced
+        # non-distributed — here the sweep is one SPMD program either way)
+        prune_runner = runner
+        if args.prune_cfg_path:
+            pcfg = Config(cfg_path=args.prune_cfg_path, options=args.options)
+            ptask = setup_task(pcfg)
+            pdatasets = ptask.build_datasets(pcfg)
+            prune_runner = RunnerBase(pcfg, ptask, model, pdatasets,
+                                      job_id=job_id, prepare_batch=prepare)
+        batches = prune_runner.get_dataloader_for_importance_computation(
             num_data=args.num_data_for_prune,
             batch_size=args.prune_batch_size)
         import jax.numpy as jnp
@@ -240,6 +255,13 @@ def main(argv=None):
 
     if args.evaluate:
         t0 = time.perf_counter()
+        # evaluation may use its own config tree (reference train.py:651)
+        if args.eval_cfg_path:
+            ecfg = Config(cfg_path=args.eval_cfg_path, options=args.options)
+            etask = setup_task(ecfg)
+            edatasets = etask.build_datasets(ecfg)
+            runner = RunnerBase(ecfg, etask, runner.model, edatasets,
+                                job_id=job_id, prepare_batch=prepare)
         results = runner.evaluate(skip_reload=True)
         stats["eval_seconds"] = round(time.perf_counter() - t0, 2)
         stats["eval_results"] = results

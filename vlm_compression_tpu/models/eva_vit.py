@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vlm_compression_tpu.models.layers import SparseLinear
@@ -165,3 +166,26 @@ class EvaViT(nn.Module):
             x = blk(x, mode)
         # BLIP-2 path: no final norm (eva_vit.py:406-411)
         return x
+
+
+def interpolate_pos_embed(pos_embed, num_patches: int):
+    """Resize a (1, 1+old_patches, dim) position table to a new patch count
+    (reference eva_vit.py:432-453: keep the cls slot, bicubic-resize the
+    square patch grid).  Used when loading a tower checkpoint trained at a
+    different image size (reference train.py:377-400)."""
+    import math
+
+    old = pos_embed.shape[1] - 1
+    if old == num_patches:
+        return pos_embed
+    dim = pos_embed.shape[-1]
+    cls_tok, grid = pos_embed[:, :1], pos_embed[:, 1:]
+    g0 = int(math.sqrt(old))
+    g1 = int(math.sqrt(num_patches))
+    if g0 * g0 != old or g1 * g1 != num_patches:
+        raise ValueError(f"non-square patch grids: {old} -> {num_patches}")
+    grid = grid.reshape(1, g0, g0, dim).astype(jnp.float32)
+    grid = jax.image.resize(grid, (1, g1, g1, dim), method="bicubic")
+    grid = grid.reshape(1, g1 * g1, dim)
+    return jnp.concatenate(
+        [cls_tok, grid.astype(pos_embed.dtype)], axis=1)
