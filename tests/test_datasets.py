@@ -175,3 +175,32 @@ def test_deterministic_tokenizer():
     tok = SimpleTokenizer()
     assert tok.encode("hello world") == tok.encode("hello world")
     assert tok.encode("hello") != tok.encode("world")
+
+
+def test_config_tree_resolves():
+    """Every generated project yaml parses and its registry names resolve
+    (arch, task, dataset builders) — schema drift protection for the full
+    config matrix."""
+    import glob
+    import os
+
+    import yaml as _yaml
+
+    from vlm_compression_tpu.common.registry import registry
+    from vlm_compression_tpu.datasets import builders  # noqa: F401
+    from vlm_compression_tpu.models import __init__ as _m  # noqa: F401
+    from vlm_compression_tpu.tasks import __init__ as _t  # noqa: F401
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "projects")
+    files = glob.glob(os.path.join(root, "*", "*.yaml"))
+    assert len(files) >= 50, files
+    for path in files:
+        with open(path) as f:
+            tree = _yaml.safe_load(f)
+        arch = tree["model"]["arch"]
+        assert registry.get_model_class(arch) is not None, (path, arch)
+        task = tree["run"]["task"]
+        registry.get_task_class(task)  # raises KeyError on unknown names
+        for ds in tree.get("datasets", {}):
+            assert registry.get_builder_class(ds) is not None, (path, ds)

@@ -93,12 +93,45 @@ COCORetBuilder = _register("coco_retrieval", I.RetrievalDataset,
                            I.RetrievalDataset)
 
 # prefix-LM pretraining corpora — RESSA calibration + retrain data
-# (prefix_language_pretraining_builder.py:16-82)
+# (prefix_language_pretraining_builder.py:16-82).  The second group are
+# the reference's exact registry names, so its project yamls port
+# unchanged; the first are this framework's original short names.
 for _n in ("cc3m_prefix", "cc12m_prefix", "sbu_prefix", "vg_prefix",
            "coco_prefix", "conceptual_caption_3m", "conceptual_caption_12m",
-           "sbu_caption", "vg_caption", "coco_caption_pretrain"):
+           "sbu_caption", "vg_caption", "coco_caption_pretrain",
+           "prefix_conceptual_caption_3m", "prefix_conceptual_caption_12m",
+           "prefix_sbu_caption", "prefix_vg_caption", "prefix_coco_caption",
+           "instruct_cc3m_caption", "instruct_coco_caption",
+           "instruct_vg_caption"):
     _register(_n, I.PrefixCaptionDataset, I.CaptionEvalDataset)
 
 
 def load_builder(name: str, cfg=None) -> BaseDatasetBuilder:
     return registry.get_builder_class(name)(cfg)
+
+
+# language-modeling corpus (c4_dataset_builder.py) + classification folders
+# (imagefolder_builder.py — ImageNet et al. — and cifar100_builder.py)
+C4Builder = _register("c4", I.TextDataset, I.TextDataset)
+ImageNetBuilder = _register("imagenet", I.ClassificationDataset,
+                            I.ClassificationDataset)
+CIFAR100Builder = _register("cifar100", I.ClassificationDataset,
+                            I.ClassificationDataset)
+
+# classification / entailment (classification_builder.py)
+NLVRBuilder = _register("nlvr", I.NLVRDataset, I.NLVRDataset)
+SNLIVEBuilder = _register("snli_ve", I.VisualEntailmentDataset,
+                          I.VisualEntailmentDataset)
+
+# video-dataset registry names (video_qa_builder.py, dialogue_builder.py,
+# retrieval/caption video builders).  Item-level decoding uses the image
+# pipeline: annotations point at extracted frames (the reference snapshot
+# is missing its datasets/ module entirely — SURVEY.md §2 row 5 — and the
+# video models here accept (b, t, h, w, c) stacks built by the collater).
+for _n in ("msrvtt_caption", "msvd_caption", "vatex_caption",
+           "msrvtt_retrieval", "didemo_retrieval"):
+    _register(_n, I.CaptionDataset, I.CaptionEvalDataset)
+for _n in ("msrvtt_qa", "msvd_qa"):
+    _register(_n, I.VQADataset, I.VQAEvalDataset)
+AVSDBuilder = _register("avsd_dialogue", I.CaptionDataset,
+                        I.CaptionEvalDataset)

@@ -151,3 +151,68 @@ class PrefixCaptionDataset(CaptionDataset):
     """CC3M/CC12M/SBU prefix-LM pretraining data — the RESSA calibration +
     retrain corpus (prefix_language_pretraining_builder.py).  Identical
     sample schema; the task decides how the text is split/prompted."""
+
+
+class TextDataset(BaseItemDataset):
+    """Text-only corpus (C4 — reference c4_dataset_builder) for the
+    language-modeling task.  Annotations carry {"text": ...}; no images."""
+
+    def _image(self, ann):  # pragma: no cover - never called
+        raise RuntimeError("text-only dataset has no images")
+
+    def __getitem__(self, i):
+        ann = self.annotation[i]
+        txt = ann.get("text", ann.get("text_input", ""))
+        return {
+            "text_input": self.text_processor(txt),
+            "instance_id": ann["instance_id"],
+        }
+
+
+class ClassificationDataset(BaseItemDataset):
+    """(image, label) items — ImageNet / CIFAR-100 style folders
+    (reference imagefolder_builder.py / cifar100_builder.py), driven by a
+    JSON annotation list [{"image": ..., "label": int}]."""
+
+    def __getitem__(self, i):
+        ann = self.annotation[i]
+        return {
+            "image": self._image(ann),
+            "label": int(ann["label"]),
+            "instance_id": ann["instance_id"],
+        }
+
+
+class NLVRDataset(BaseItemDataset):
+    """NLVR2 pairs: two images + a statement + true/false label
+    (reference nlvr builder; legacy ALBEF/BLIP NLVR models)."""
+
+    def __getitem__(self, i):
+        ann = self.annotation[i]
+        return {
+            "image0": self.vis_processor(
+                Image.open(os.path.join(self.vis_root, ann["images"][0]))),
+            "image1": self.vis_processor(
+                Image.open(os.path.join(self.vis_root, ann["images"][1]))),
+            "text_input": self.text_processor(ann["sentence"]),
+            "label": 1 if str(ann.get("label", "")).lower() == "true" else 0,
+            "instance_id": ann["instance_id"],
+        }
+
+
+class VisualEntailmentDataset(BaseItemDataset):
+    """SNLI-VE: image + sentence → {entailment, neutral, contradiction}."""
+
+    LABELS = {"entailment": 0, "neutral": 1, "contradiction": 2}
+
+    def __getitem__(self, i):
+        ann = self.annotation[i]
+        lab = ann.get("label", 0)
+        return {
+            "image": self._image(ann),
+            "text_input": self.text_processor(
+                ann.get("sentence", ann.get("caption", ""))),
+            "label": self.LABELS.get(lab, lab) if isinstance(lab, str)
+            else int(lab),
+            "instance_id": ann["instance_id"],
+        }

@@ -6,6 +6,9 @@ the registered task named in ``run_cfg.task``
 """
 
 from vlm_compression_tpu.common.registry import registry
+from vlm_compression_tpu.tasks import classification  # noqa: F401
+from vlm_compression_tpu.tasks import pretrain  # noqa: F401
+from vlm_compression_tpu.tasks import retrieval  # noqa: F401
 from vlm_compression_tpu.tasks.base import BaseTask  # noqa: F401
 from vlm_compression_tpu.tasks.captioning import CaptionTask  # noqa: F401
 from vlm_compression_tpu.tasks.vqa import GQATask, VQATask  # noqa: F401
