@@ -61,6 +61,10 @@ def prune_and_eval(pruner: str, t5_ratio: float, vit_ratio: float,
            "--model_size", model_size, "--job_id", job_id,
            "--score_method", score,
            "--sparsity_ratio_granularity", gran,
+           # pin the output dir: the checkpoint path below must match what
+           # the CLI derives from run.output_dir (the prune_stage2 configs
+           # otherwise point at their own output dirs)
+           "--options", f"run.output_dir=output/{job_id}",
            *extra]
     if family == "vicuna":
         cmd += ["--t5_model_prefix", "llm_model"]

@@ -38,6 +38,16 @@ def test_prune_and_eval_commands_parse(pruner, captured):
     first = _parse(captured[0])
     assert first.pruning_method == launch_lib.METHOD_MATRIX[pruner][0]
     assert first.t5_prune_spec == "24-0.5-1.0-1.0"
+    # checkpoint-path consistency: the eval commands must restore from the
+    # dir the prune command's run.output_dir override makes the CLI save to
+    out_override = [o for o in first.options if o.startswith("run.output_dir=")]
+    assert out_override, first.options
+    out_dir = out_override[0].split("=", 1)[1]
+    for cmd in captured[1:]:
+        args = _parse(cmd)
+        assert args.pruned_checkpoint.startswith(out_dir + "/"), (
+            args.pruned_checkpoint, out_dir)
+        assert args.pruned_checkpoint.endswith(f"pruned_{first.job_id}")
 
 
 def test_train_commands_parse(captured):

@@ -81,10 +81,10 @@ def parse_args(argv=None):
     p.add_argument("--max_train_samples", type=int, default=None)
 
     p.add_argument("--pack_masks", action="store_true",
-                   help="bit-pack keep-masks after prune/merge (32 rows "
-                        "per uint32 word): 1/8th the mask HBM of bool "
-                        "masks; the masked forward expands words per-tile "
-                        "in VMEM (ops/bitmask.py)")
+                   help="bit-pack keep-masks after prune/merge (2 bits "
+                        "per weight, 4x less HBM than bool masks); the "
+                        "masked forward expands words per-tile in VMEM "
+                        "(ops/bitmask.py)")
     p.add_argument("--model_size", default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny towers (tests / smoke runs)")
@@ -251,7 +251,7 @@ def main(argv=None):
         v = dict(runner.model.variables)
         v["masks"] = pack_masks_tree(v["masks"])
         runner.model.variables = v
-        logging.info("masks bit-packed (32 rows/word)")
+        logging.info("masks bit-packed (2 bits/weight)")
 
     if args.evaluate:
         t0 = time.perf_counter()

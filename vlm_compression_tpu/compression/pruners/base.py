@@ -175,10 +175,13 @@ class LayerWisePrunerBase(BasePruner):
         Over a remote-device tunnel, executable deserialization+upload is
         bandwidth-serialized at ~2 MB/s and the SparseGPT OBS programs sum
         to ~50 MB — paid serially at each shape's first solve if not
-        warmed (measured ~45 s of the XL sweep).  The mask kernels are
-        module-level jitted functions, so programs warmed here are the
-        very executables the sweep calls.  Returns the warm thread
-        (already joined unless join=False).
+        warmed (measured ~45 s of the XL sweep).  The OBS/DSnoT kernels
+        are module-level jitted functions and make_mask_fn is memoized per
+        tower, so programs warmed here are the very executables the sweep
+        calls.  Limitation: wanda jits sparsity as a static argument, so
+        under a non-uniform allocator (--sparsity_ratio_granularity) only
+        the uniform-ratio wanda program is warmed.  Returns the warm
+        thread (already joined unless join=False).
         """
         import threading
         from concurrent.futures import ThreadPoolExecutor
@@ -207,7 +210,10 @@ class LayerWisePrunerBase(BasePruner):
                     key = (kern.shape, str(kern.dtype))
                     counts[key] = counts.get(key, 0) + 1
                 for (shape, dt), g in counts.items():
-                    jobs[(shape, dt, 1.0 - keep, g)] = mask_fn
+                    # tower in the key: the vit (flat-threshold) and llm
+                    # (per-unit top-k) mask fns are DIFFERENT programs even
+                    # at equal shapes
+                    jobs[(tower, shape, dt, 1.0 - keep, g)] = mask_fn
 
         if not jobs:
             return None
@@ -216,7 +222,7 @@ class LayerWisePrunerBase(BasePruner):
             with ThreadPoolExecutor(max_workers=min(len(jobs), 10)) as ex:
                 list(ex.map(
                     lambda it: _warm_mask_shape(
-                        it[1], self.with_hessian, *it[0]),
+                        it[1], self.with_hessian, *it[0][1:]),
                     jobs.items()))
 
         t = threading.Thread(target=work, daemon=True)

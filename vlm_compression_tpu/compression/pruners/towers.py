@@ -55,6 +55,20 @@ class _MethodMixin:
         return self.method == "dsnot" and self.initial_method == "sparsegpt"
 
     def make_mask_fn(self, lora_model: bool, tower: str = "llm"):
+        """Memoized per (lora_model, tower): wanda's factory creates fresh
+        jax.jit objects, and prewarm + sweep must share the SAME instances
+        or the warmed executables are not the ones the sweep loads (a new
+        jit object re-traces and re-uploads even with a warm disk cache)."""
+        cache = self.__dict__.setdefault("_mask_fn_cache", {})
+        # keyed by tower only: no method's mask fn depends on lora_model
+        # (the engine handles mask-vs-zero application), so prewarm
+        # (lora_model=True) and sweep (either) share one instance
+        key = tower
+        if key not in cache:
+            cache[key] = self._build_mask_fn(lora_model, tower)
+        return cache[key]
+
+    def _build_mask_fn(self, lora_model: bool, tower: str = "llm"):
         if self.method == "wanda":
             return M.wanda_mask_fn(self.prune_n, self.prune_m,
                                    flat_threshold=(tower == "vit"))

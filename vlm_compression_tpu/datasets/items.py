@@ -208,11 +208,12 @@ class VisualEntailmentDataset(BaseItemDataset):
     def __getitem__(self, i):
         ann = self.annotation[i]
         lab = ann.get("label", 0)
+        if isinstance(lab, str):
+            lab = self.LABELS[lab.strip().lower()]
         return {
             "image": self._image(ann),
             "text_input": self.text_processor(
                 ann.get("sentence", ann.get("caption", ""))),
-            "label": self.LABELS.get(lab, lab) if isinstance(lab, str)
-            else int(lab),
+            "label": int(lab),
             "instance_id": ann["instance_id"],
         }

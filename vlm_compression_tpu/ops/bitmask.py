@@ -3,18 +3,19 @@
 The reference stores masks as full-size bool buffers next to every pruned
 linear (lavis/peft/src/peft/tuners/lora.py:317) — on InstructBLIP-XL that
 is ~3.4 GB of HBM (one byte per weight) and, during the masked forward,
-50% extra HBM traffic on top of the bf16 weights.  Packing 32 mask bits
-into one uint32 word cuts both by 32×: a packed mask adds ~3% to the
-weight bytes instead of 50%.
+50% extra HBM traffic on top of the bf16 weights.  This layout stores
+2 bits per weight (16 mask rows per uint32 word — see the alignment note
+below), cutting both by 4×: a packed mask adds ~12.5% to the bf16 weight
+bytes instead of 50%.
 
 Layout — tile-friendly interleave.  A keep-mask for a Flax kernel
 ``(in, out)`` packs along the CONTRACTION axis (rows), 128-row group at a
 time: within group ``g`` (mask rows ``128g .. 128g+127``), mask row
 ``128g + r`` lives in packed row ``8g + (r % 8)`` at bit ``r // 8``.
 Sixteen of the 32 bits per word are used — Mosaic requires sublane block
-dims divisible by 8, so 8 words per group is the densest layout the
-kernel can address without misaligned loads; the mask still shrinks 32×
-vs bool (0.25 bit/weight).  The Pallas consumer expands a packed tile in
+dims divisible by 8, so 8 words per 128-row group is the densest layout
+the kernel can address without misaligned loads: 2 bits/weight, a 4×
+shrink vs 8-bit bool.  The Pallas consumer expands a packed tile in
 VMEM with ``pltpu.repeat`` (which TILES: output row r = input row
 r % nrows) followed by a ``iota // 8`` shift — no gathers, pure VPU ops.
 Rows pad up to a multiple of 128.

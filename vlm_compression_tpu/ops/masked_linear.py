@@ -164,9 +164,10 @@ masked_matmul.defvjp(_masked_matmul_fwd, _masked_matmul_bwd)
 
 # ---------------------------------------------------------------------------
 # Bit-packed mask variant: y = x @ (W ⊙ unpack(M)); the mask travels as
-# uint32 words (32 rows per word) and is expanded INSIDE the kernel tile in
-# VMEM — 1/16th the mask HBM traffic of a bool mask next to bf16 weights,
-# and ~3% instead of 50% extra bytes on the weight stream.
+# uint32 words (16 rows per word — sublane-aligned layout, ops/bitmask.py)
+# and is expanded INSIDE the kernel tile in VMEM — 1/4 the mask HBM
+# traffic of a bool mask, ~12.5% instead of 50% extra bytes on the bf16
+# weight stream.
 # ---------------------------------------------------------------------------
 
 
