@@ -92,3 +92,58 @@ def test_apply_mask_dtype():
     out = M.apply_mask(w, mask)
     assert out.dtype == jnp.bfloat16
     assert float(out.sum()) == 4.0
+
+
+def test_ria_metric_oracle():
+    """RIA = |W|/rowsum + |W|/colsum, scaled by (sqrt scaler)^alpha."""
+    import numpy as np
+
+    from vlm_compression_tpu.ops.masks import ria_metric
+
+    rng = np.random.default_rng(0)
+    W = rng.standard_normal((6, 8)).astype(np.float32)
+    s = rng.random(8).astype(np.float32) + 0.1
+    got = np.asarray(ria_metric(jnp.asarray(W), jnp.asarray(s), alpha=0.5))
+    aw = np.abs(W)
+    ri = aw / aw.sum(1, keepdims=True) + aw / aw.sum(0, keepdims=True)
+    want = ri * (np.sqrt(s)[None, :] ** 0.5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_ria_pruner_end_to_end():
+    """blipt5_ria_pruner runs the full sweep and hits target density."""
+    import jax
+    import numpy as np
+
+    from vlm_compression_tpu.compression import load_pruner
+    from vlm_compression_tpu.compression.pruners.base import FlaxModel
+    from vlm_compression_tpu.models.blip2_t5_instruct import (
+        Blip2T5Instruct,
+        Blip2T5InstructConfig,
+    )
+
+    cfg = Blip2T5InstructConfig.tiny()
+    model = Blip2T5Instruct(cfg)
+    img = cfg.vit.img_size
+    batch = dict(
+        image=jax.random.normal(jax.random.key(0), (4, img, img, 3)),
+        input_ids=jnp.ones((4, 6), jnp.int32),
+        attention_mask=jnp.ones((4, 6), jnp.int32),
+        labels=jnp.ones((4, 4), jnp.int32),
+    )
+    variables = model.init(jax.random.key(1), **batch)
+    pruner = load_pruner("blipt5_ria_pruner", FlaxModel(model, dict(variables)),
+                         [batch], vit_prune_spec="2-0.5-1.0-1.0",
+                         t5_prune_spec="2-0.5-1.0-1.0", num_samples=4)
+    fm, _ = pruner.prune(lora_model=True)
+    dens = []
+
+    def walk(node, path=()):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+            elif k == "mask" and any(p.startswith("blocks_") for p in path):
+                dens.append(float(np.mean(v)))
+
+    walk(fm.variables["masks"])
+    assert dens and abs(np.mean(dens) - 0.5) < 0.05

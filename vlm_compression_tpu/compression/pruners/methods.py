@@ -25,14 +25,21 @@ from vlm_compression_tpu.ops.stats import finalize_hessian
 
 
 def wanda_mask_fn(prune_n: int = 0, prune_m: int = 0,
-                  flat_threshold: bool = False):
+                  flat_threshold: bool = False, metric: str = "wanda",
+                  ria_alpha: float = 0.5):
     """Wanda |W|·sqrt(E‖X‖²).  flat_threshold=True selects the per-tensor
     value-threshold variant used for the ViT (wanda_pruner.py:682-684);
-    False the per-unit top-k used for language towers (:330-337)."""
+    False the per-unit top-k used for language towers (:330-337).
+    metric="ria" swaps in the RIA importance (beyond-reference; same
+    statistics, same sweep)."""
+    from vlm_compression_tpu.ops.masks import ria_metric
 
     @functools.partial(jax.jit, static_argnames=("sparsity",))
     def one(kernel, scaler_row, sparsity):
-        met = wanda_metric(kernel.T, scaler_row)
+        if metric == "ria":
+            met = ria_metric(kernel.T, scaler_row, alpha=ria_alpha)
+        else:
+            met = wanda_metric(kernel.T, scaler_row)
         if prune_n > 0:
             keep = nm_structured_mask(met, prune_n, prune_m)
         elif flat_threshold:

@@ -68,10 +68,15 @@ class _MethodMixin:
             cache[key] = self._build_mask_fn(lora_model, tower)
         return cache[key]
 
+    # RIA knob (beyond-reference method; masks.ria_metric)
+    ria_alpha: float = 0.5
+
     def _build_mask_fn(self, lora_model: bool, tower: str = "llm"):
-        if self.method == "wanda":
+        if self.method in ("wanda", "ria"):
             return M.wanda_mask_fn(self.prune_n, self.prune_m,
-                                   flat_threshold=(tower == "vit"))
+                                   flat_threshold=(tower == "vit"),
+                                   metric=self.method,
+                                   ria_alpha=self.ria_alpha)
         if self.method == "sparsegpt":
             return M.sparsegpt_mask_fn(self.prune_n, self.prune_m,
                                        self.blocksize, self.percdamp)
@@ -467,3 +472,9 @@ BlipT5SparseGPTPruner = _make(BlipT5PrunerBase, "sparsegpt",
 T5DSnoTPruner = _make(T5PrunerBase, "dsnot", "t5_dsnot_pruner")
 ViTDSnoTPruner = _make(ViTPrunerBase, "dsnot", "vit_dsnot_pruner")
 BlipT5DSnoTPruner = _make(BlipT5PrunerBase, "dsnot", "blipt5_dsnot_pruner")
+
+# beyond-reference: RIA (relative importance × activations) — rides the
+# Wanda sweep with a stronger metric (ops/masks.ria_metric)
+T5RIAPruner = _make(T5PrunerBase, "ria", "t5_ria_pruner")
+ViTRIAPruner = _make(ViTPrunerBase, "ria", "vit_ria_pruner")
+BlipT5RIAPruner = _make(BlipT5PrunerBase, "ria", "blipt5_ria_pruner")

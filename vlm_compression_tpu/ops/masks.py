@@ -88,3 +88,23 @@ def flat_threshold_mask(metric: jnp.ndarray, sparsity) -> jnp.ndarray:
 def apply_mask(weight: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Zero pruned weights, preserving dtype."""
     return jnp.where(mask, weight, jnp.zeros((), weight.dtype))
+
+
+def ria_metric(weight_um: jnp.ndarray, scaler_row: jnp.ndarray,
+               alpha: float = 0.5) -> jnp.ndarray:
+    """RIA: Relative Importance and Activations (Zhang et al., 2024 —
+    "Plug-and-Play: An Efficient Post-training Pruning Method for LLMs").
+
+    RI_ij = |W_ij| / Σ_i |W_ij| + |W_ij| / Σ_j |W_ij|   (row+col relative)
+    RIA_ij = RI_ij · (sqrt(E‖X_j‖²))^α                  (α = 0.5 default)
+
+    A beyond-reference method: same sufficient statistics as Wanda, so it
+    rides the identical calibration sweep; often stronger than Wanda at
+    ≥50% sparsity because relative (per-row/col) magnitude protects small
+    but locally-important weights."""
+    w = jnp.abs(weight_um.astype(jnp.float32))
+    row_sum = jnp.sum(w, axis=1, keepdims=True)   # per unit (output row)
+    col_sum = jnp.sum(w, axis=0, keepdims=True)   # per input column
+    ri = w / jnp.maximum(row_sum, 1e-30) + w / jnp.maximum(col_sum, 1e-30)
+    act = jnp.sqrt(scaler_row)[None, :] ** alpha
+    return ri * act
