@@ -167,3 +167,41 @@ def _get(tree, path):
     for p in path:
         tree = tree[p]
     return tree
+
+
+def test_owl_allocation_budget_and_shape():
+    """OWL (beyond-reference): outlier-weighed layerwise sparsity — budget
+    exact, scores equal hand-computed outlier counts of the Wanda metric."""
+    model, variables, batch = _tiny_t5()
+    alloc = LayerSparsity(
+        model=FlaxModel(model, variables), data_loader=[batch],
+        original_sparsity=0.5, granularity="layer",
+        max_sparsity_per_layer=0.9, score_method="owl_sum", num_data=2,
+        owl_m=2.0)
+    keys = select_prunable_keys(variables["params"])
+    sums = alloc._score_owl(variables, keys)
+
+    # oracle: capture activations with a plain apply, count outliers
+    _, aux = model.apply(variables, **batch, mutable=["calib"])
+
+    def find(tree, path):
+        for p in path:
+            tree = tree[p]
+        v = tree["input"]
+        return v[0] if isinstance(v, (tuple, list)) else v
+
+    for k in keys:
+        x = np.asarray(find(aux["calib"], k), np.float32)
+        ssq = (x * x).reshape(-1, x.shape[-1]).sum(0)
+        w = np.abs(np.asarray(
+            _get(variables["params"], k)["kernel"], np.float32)).T
+        a = w * np.sqrt(ssq)[None, :]
+        want = int((a > 2.0 * a.mean()).sum())
+        assert sums[k] == pytest.approx(want), k
+
+    sp = alloc.return_sparsity()
+    sizes = {"/".join(k): int(np.prod(np.asarray(
+        _get(variables["params"], k)["kernel"]).shape)) for k in keys}
+    total = sum(sizes.values())
+    kept = sum((1 - sp[j]) * sizes[j] for j in sizes)
+    assert kept / total == pytest.approx(0.5, abs=0.02)

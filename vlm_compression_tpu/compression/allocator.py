@@ -181,7 +181,8 @@ class LayerSparsity:
                  noise_eps: float = 1e-3,
                  prefixes: Optional[Sequence[str]] = None,
                  loss_fn: Optional[Callable] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 owl_m: float = 5.0):
         assert max_sparsity_per_layer >= original_sparsity, (
             "max_sparsity_per_layer must cover the budget "
             "(reference :146)")
@@ -197,6 +198,7 @@ class LayerSparsity:
         self.noise_eps = float(noise_eps)
         self.prefixes = prefixes
         self.seed = seed
+        self.owl_m = float(owl_m)
         self.loss_fn = loss_fn or self._default_loss
 
     # -- plumbing ------------------------------------------------------
@@ -220,7 +222,9 @@ class LayerSparsity:
         keys = select_prunable_keys(params, self.prefixes)
         mapping = build_group_mapping(keys, self.granularity)
 
-        if self.score_compute.startswith("mezo"):
+        if self.score_compute == "owl":
+            sums = self._score_owl(variables, keys)
+        elif self.score_compute.startswith("mezo"):
             sums = self._score_mezo_diff(variables, keys)
         elif self.score_compute.startswith(("lmezo", "olmezo")):
             sums = self._score_mezo_layer(variables, keys)
@@ -283,6 +287,54 @@ class LayerSparsity:
         for k in keys:
             sums[k] /= max(len(batches), 1)
         return sums
+
+    # -- OWL scorer (beyond-reference: Outlier Weighed Layerwise sparsity,
+    # Yin et al. 2024) -------------------------------------------------
+    def _score_owl(self, variables, keys):
+        """Group score = count of OUTLIER entries in the Wanda metric
+        A = |W|·sqrt(E‖X‖²): entries with A > M·mean(A) per layer
+        (owl_m, default 5).  Fed to the proportional waterfilling this
+        allocator already does, layers holding more outliers keep more
+        parameters — the published OWL allocation shape, with the exact
+        global budget and max-sparsity clamps handled by
+        compute_the_sparsity_per_group.  The "avg" aggregate divides by
+        group size, i.e. scores become outlier FRACTIONS."""
+        params = variables["params"]
+        m = float(getattr(self, "owl_m", 5.0))
+
+        @jax.jit
+        def ssq_per_key(batch):
+            _, aux = self.model.module.apply(
+                variables, **batch, mutable=["calib"])
+
+            def find(tree, path):
+                for p in path:
+                    tree = tree[p]
+                v = tree["input"]
+                return v[0] if isinstance(v, (tuple, list)) else v
+
+            out = {}
+            for k in keys:
+                x = find(aux["calib"], k).astype(jnp.float32)
+                out[k] = jnp.sum(x * x, axis=tuple(range(x.ndim - 1)))
+            return out
+
+        ssq = None
+        batches = self._batches()
+        for b in batches:
+            s = ssq_per_key(b)
+            ssq = s if ssq is None else {k: ssq[k] + s[k] for k in keys}
+
+        @jax.jit
+        def outliers(p):
+            out = {}
+            for k in keys:
+                w = jnp.abs(_tree_get(p, k)["kernel"].astype(jnp.float32)).T
+                a = w * jnp.sqrt(ssq[k])[None, :]
+                out[k] = jnp.sum(a > m * jnp.mean(a))
+            return out
+
+        return {k: float(v) for k, v in outliers(params).items()}
 
     # -- MeZO full-model drift scorer (reference :495-575) -------------
     def _score_mezo_diff(self, variables, keys):
