@@ -115,3 +115,32 @@ def test_itm_eval_perfect_and_random():
     m = itm_eval(perfect_i2t, perfect_t2i, txt2img, img2txt)
     assert m["txt_r1"] == 100.0 and m["img_r1"] == 100.0
     assert m["agg_metrics"] == 100.0
+
+
+def test_rouge_l_oracle():
+    from vlm_compression_tpu.evaluation.caption_metrics import (
+        _lcs_len,
+        rouge_l,
+    )
+
+    assert _lcs_len("a b c d".split(), "a c d".split()) == 3
+    assert _lcs_len([], ["x"]) == 0
+    # identical candidate/reference → F = 1
+    c = {1: "a cat sits on the mat"}
+    r = {1: ["a cat sits on the mat"]}
+    assert rouge_l(c, r) == pytest.approx(1.0)
+    # hand-computed: cand "the cat", refs ["the cat sat", "a dog"]
+    # lcs vs ref1 = 2 → p=1.0, r=2/3; vs ref2 = 0 → max p=1, max r=2/3
+    # beta=1.2: F = (1+1.44)·1·(2/3) / ((2/3) + 1.44·1)
+    c = {1: "the cat"}
+    r = {1: ["the cat sat", "a dog"]}
+    want = (2.44 * 1.0 * (2 / 3)) / ((2 / 3) + 1.44)
+    assert rouge_l(c, r) == pytest.approx(want)
+
+
+def test_coco_caption_eval_includes_rouge():
+    res = [{"image_id": 1, "caption": "a cat on a mat"}]
+    gts = {1: ["a cat on a mat", "cat sitting on mat"]}
+    out = coco_caption_eval(res, gts)
+    assert out["ROUGE_L"] == pytest.approx(1.0)
+    assert "agg_metrics" in out

@@ -133,17 +133,53 @@ def cider_d(candidates: Dict, references: Dict, max_n: int = 4,
     return sum(scores) / max(len(scores), 1)
 
 
+def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b):
+            cur.append(prev[j] + 1 if x == y else max(cur[-1], prev[j + 1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(candidates: Dict, references: Dict, beta: float = 1.2) -> float:
+    """Corpus ROUGE-L, the pycocoevalcap formula: per image, max LCS
+    precision/recall over references, F_beta with beta=1.2; mean over
+    images."""
+    scores = []
+    for cid, cand in candidates.items():
+        ct = tokenize(cand)
+        precs, recs = [], []
+        for ref in references[cid]:
+            rt = tokenize(ref)
+            l = _lcs_len(ct, rt)
+            precs.append(l / max(len(ct), 1))
+            recs.append(l / max(len(rt), 1))
+        p, r = max(precs), max(recs)
+        if p == 0 or r == 0:
+            scores.append(0.0)
+        else:
+            scores.append((1 + beta ** 2) * p * r / (r + beta ** 2 * p))
+    return sum(scores) / max(len(scores), 1)
+
+
 def coco_caption_eval(results: List[dict], gts: Dict[object, List[str]]
                       ) -> Dict[str, float]:
     """results: [{image_id, caption}]; gts: {image_id: [refs]}.
-    Returns Bleu_1..4 + CIDEr (+ agg_metrics = CIDEr + BLEU-4,
-    reference captioning.py:99)."""
+    Returns Bleu_1..4 + ROUGE_L + CIDEr (+ agg_metrics = CIDEr + BLEU-4,
+    reference captioning.py:99).  METEOR/SPICE are omitted: the official
+    scorers are Java jars with external data files; the reference's
+    agg_metrics never uses them."""
     cands = {r["image_id"]: r["caption"] for r in results
              if r["image_id"] in gts}
     refs = {cid: gts[cid] for cid in cands}
     bleu = corpus_bleu(cands, refs)
     cd = cider_d(cands, refs)
     out = {f"Bleu_{i + 1}": round(b, 4) for i, b in enumerate(bleu)}
+    out["ROUGE_L"] = round(rouge_l(cands, refs), 4)
     out["CIDEr"] = round(cd, 4)
     out["agg_metrics"] = round(cd + bleu[3], 4)
     return out
