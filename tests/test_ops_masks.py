@@ -147,3 +147,26 @@ def test_ria_pruner_end_to_end():
 
     walk(fm.variables["masks"])
     assert dens and abs(np.mean(dens) - 0.5) < 0.05
+
+
+def test_transposable_nm_mask():
+    """Both orientations satisfy n:m; greedy prefers large magnitudes."""
+    import numpy as np
+
+    from vlm_compression_tpu.ops.masks import transposable_nm_mask
+
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.standard_normal((8, 12)).astype(np.float32))
+    keep = np.asarray(transposable_nm_mask(jnp.abs(W), 2, 4))
+    # row constraint within every 4-wide group
+    assert (keep.reshape(8, 3, 4).sum(-1) <= 2).all()
+    # column constraint within every 4-tall group
+    assert (keep.reshape(2, 4, 12).sum(1) <= 2).all()
+    # greedy keeps the tile-max entry always
+    t = np.abs(np.asarray(W)).reshape(2, 4, 3, 4).transpose(0, 2, 1, 3)
+    kt = keep.reshape(2, 4, 3, 4).transpose(0, 2, 1, 3)
+    for tile, ktile in zip(t.reshape(-1, 4, 4), kt.reshape(-1, 4, 4)):
+        i, j = np.unravel_index(np.argmax(tile), (4, 4))
+        assert ktile[i, j]
+        # 2-approx floor: keeps at least n per tile (here >= 4 of 8 slots)
+        assert ktile.sum() >= 4

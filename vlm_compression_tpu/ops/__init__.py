@@ -15,6 +15,7 @@ from vlm_compression_tpu.ops.stats import (  # noqa: F401
 )
 from vlm_compression_tpu.ops.masks import (  # noqa: F401
     wanda_metric,
+    ria_metric,
     unstructured_mask,
     nm_structured_mask,
     mask_density,
@@ -23,5 +24,12 @@ from vlm_compression_tpu.ops.sparsegpt import sparsegpt_prune  # noqa: F401
 from vlm_compression_tpu.ops.dsnot import dsnot_refine_mask  # noqa: F401
 from vlm_compression_tpu.ops.masked_linear import (  # noqa: F401
     masked_matmul,
+    masked_matmul_packed,
     sparse_lora_matmul,
+)
+from vlm_compression_tpu.ops.bitmask import (  # noqa: F401
+    pack_mask,
+    pack_masks_tree,
+    unpack_mask,
+    unpack_masks_tree,
 )

@@ -108,3 +108,43 @@ def ria_metric(weight_um: jnp.ndarray, scaler_row: jnp.ndarray,
     ri = w / jnp.maximum(row_sum, 1e-30) + w / jnp.maximum(col_sum, 1e-30)
     act = jnp.sqrt(scaler_row)[None, :] ** alpha
     return ri * act
+
+
+def transposable_nm_mask(metric: jnp.ndarray, n: int, m: int) -> jnp.ndarray:
+    """n:m keep-mask valid in BOTH orientations (Hubara et al. 2021,
+    "Accelerated Sparse Neural Training": masks whose transpose is also
+    n:m, so W and Wᵀ products share one sparsity pattern — relevant for
+    sparse TRAINING, where the backward pass multiplies by Wᵀ).
+
+    Greedy 2-approximation per m×m tile: visit entries by descending
+    metric; keep one iff its tile-row and tile-column each still have
+    fewer than n kept.  Runs as a fixed m² -step `fori_loop` vmapped over
+    tiles (no data-dependent shapes).  Requires units % m == 0 and
+    in % m == 0.
+    """
+    units, n_in = metric.shape
+    assert units % m == 0 and n_in % m == 0, (units, n_in, m)
+    t = metric.astype(jnp.float32).reshape(units // m, m, n_in // m, m)
+    tiles = t.transpose(0, 2, 1, 3).reshape(-1, m, m)     # (T, m, m)
+
+    order = jnp.argsort(-tiles.reshape(-1, m * m), axis=-1)  # desc
+
+    def one_tile(ordr):
+        def body(i, carry):
+            keep, rows, cols = carry
+            flat = ordr[i]
+            r, c = flat // m, flat % m
+            ok = (rows[r] < n) & (cols[c] < n)
+            keep = keep.at[r, c].set(ok)
+            rows = rows.at[r].add(ok.astype(jnp.int32))
+            cols = cols.at[c].add(ok.astype(jnp.int32))
+            return keep, rows, cols
+
+        keep0 = jnp.zeros((m, m), bool)
+        z = jnp.zeros((m,), jnp.int32)
+        keep, _, _ = jax.lax.fori_loop(0, m * m, body, (keep0, z, z))
+        return keep
+
+    keep_tiles = jax.vmap(one_tile)(order)
+    keep = keep_tiles.reshape(units // m, n_in // m, m, m)
+    return keep.transpose(0, 2, 1, 3).reshape(units, n_in)
