@@ -125,3 +125,14 @@ def test_interpolate_pos_embed():
     np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(pe[:, 0]))
     # same size = identity
     assert interpolate_pos_embed(pe, 16) is pe
+
+
+def test_evaluate_cli_int8(workdir):
+    from vlm_compression_tpu.cli.evaluate import main
+
+    root, cfg_path = workdir
+    stats = main([
+        "--cfg-path", cfg_path, "--job_id", "evq", "--tiny",
+        "--quantize_int8",
+    ])
+    assert "val" in stats["eval_results"]

@@ -1,0 +1,114 @@
+"""Int8 weight quantization (TPU-native Linear8bitLt counterpart)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlm_compression_tpu.ops.quant import (
+    dequantize_params_tree,
+    dequantize_weight,
+    int8_matmul,
+    quantize_params_tree,
+    quantize_weight,
+)
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+    q, s = quantize_weight(w)
+    assert q.dtype == jnp.int8 and s.shape == (32,)
+    wd = dequantize_weight(q, s)
+    # absmax symmetric: per-column error bounded by scale/2
+    err = np.abs(np.asarray(wd - w))
+    bound = np.asarray(s)[None, :] * 0.5 + 1e-6
+    assert (err <= bound).all()
+    # column absmax survives exactly up to rounding
+    np.testing.assert_allclose(np.abs(np.asarray(wd)).max(0),
+                               np.abs(np.asarray(w)).max(0), rtol=1e-2)
+
+
+def test_int8_matmul_matches_dequant():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+    q, s = quantize_weight(w)
+    want = x @ dequantize_weight(q, s)
+    got = int8_matmul(x, q, s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    # masked variant zeroes pruned weights before the product
+    m = jnp.asarray(rng.random((64, 32)) < 0.5)
+    want_m = x @ jnp.where(m, dequantize_weight(q, s), 0.0)
+    got_m = int8_matmul(x, q, s, m)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_params_tree_roundtrip():
+    tree = {
+        "blocks_0": {"q": {"kernel": jnp.ones((8, 4)) * 0.3,
+                           "bias": jnp.zeros((4,))},
+                     "norm": {"scale": jnp.ones((8,))}},
+    }
+    qt = quantize_params_tree(tree)
+    leaf = qt["blocks_0"]["q"]
+    assert leaf["kernel"].dtype == jnp.int8
+    assert "kernel_scale" in leaf
+    assert qt["blocks_0"]["norm"]["scale"].dtype != jnp.int8
+    back = dequantize_params_tree(qt)
+    np.testing.assert_allclose(np.asarray(back["blocks_0"]["q"]["kernel"]),
+                               0.3 * np.ones((8, 4)), rtol=1e-2)
+    assert "kernel_scale" not in back["blocks_0"]["q"]
+
+
+def test_sparse_linear_int8_forward():
+    from vlm_compression_tpu.models.layers import SparseLinear
+    from vlm_compression_tpu.ops.bitmask import pack_masks_tree
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    layer = SparseLinear(32)
+    variables = dict(layer.init({"params": jax.random.key(0)}, x))
+    mask = jnp.asarray(rng.random((64, 32)) < 0.5)
+    variables["masks"] = {"mask": mask}
+
+    qvars = dict(variables, params=quantize_params_tree(variables["params"]))
+    dvars = dict(variables, params=dequantize_params_tree(qvars["params"]))
+
+    for mode in ("dense", "masked"):
+        got = layer.apply(qvars, x, mode=mode)
+        want = layer.apply(dvars, x, mode=mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    # packed mask composes with int8
+    pvars = dict(qvars, masks=pack_masks_tree(qvars["masks"]))
+    got = layer.apply(pvars, x, mode="masked")
+    want = layer.apply(dvars, x, mode="masked")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_quantized_model_forward():
+    from vlm_compression_tpu.models.blip2_t5_instruct import (
+        Blip2T5Instruct,
+        Blip2T5InstructConfig,
+    )
+
+    cfg = Blip2T5InstructConfig.tiny()
+    model = Blip2T5Instruct(cfg)
+    img = cfg.vit.img_size
+    batch = dict(
+        image=jnp.zeros((1, img, img, 3), jnp.float32),
+        input_ids=jnp.ones((1, 6), jnp.int32),
+        attention_mask=jnp.ones((1, 6), jnp.int32),
+        labels=jnp.ones((1, 4), jnp.int32),
+    )
+    variables = dict(model.init(jax.random.key(0), **batch))
+    out_fp = model.apply(variables, **batch)
+    qvars = dict(variables, params=quantize_params_tree(variables["params"]))
+    out_q = model.apply(qvars, **batch)
+    assert np.isfinite(float(out_q["loss"]))
+    # int8 error stays small at tiny scale
+    assert abs(float(out_q["loss"]) - float(out_fp["loss"])) < 0.5

@@ -61,6 +61,10 @@ def parse_args(argv=None):
     p.add_argument("--prune_per_model", action="store_true")
     p.add_argument("--iteration", type=int, default=1)
     p.add_argument("--save_pruned_model", action="store_true")
+    p.add_argument("--quantize_int8", action="store_true",
+                   help="per-output-channel absmax int8 weights for the "
+                        "eval (TPU-native counterpart of the reference's "
+                        "bitsandbytes load_in_8bit path)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--model_size", default=None)
     p.add_argument("--seed", type=int, default=42)
@@ -230,6 +234,14 @@ def main(argv=None):
             ck.save(path, model.variables, force=True)
             ck.wait_until_finished()
             stats["pruned_checkpoint"] = path
+
+    if args.quantize_int8:
+        from vlm_compression_tpu.ops.quant import quantize_params_tree
+
+        v = dict(runner.model.variables)
+        v["params"] = quantize_params_tree(v["params"])
+        runner.model.variables = v
+        logging.info("weights quantized to int8 (per-output-channel absmax)")
 
     results = runner.evaluate(skip_reload=True)
     stats["eval_results"] = results

@@ -69,10 +69,29 @@ class SparseLinear(nn.Module):
 
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
-        k = kernel.astype(dtype)
+
+        # int8-quantized kernel (ops/quant.quantize_params_tree — the
+        # TPU-native counterpart of the reference's bitsandbytes
+        # Linear8bitLt): int8 weights hit the MXU directly, the
+        # per-output-channel scale multiplies the OUTPUT; LoRA modes
+        # dequantize once since adapters operate in float.
+        qscale = None
+        if kernel.dtype == jnp.int8:
+            qscale = self.get_variable("params", "kernel_scale")
+            if self.lora_rank > 0 and mode in (SPARSE_LORA, LORA):
+                from vlm_compression_tpu.ops.quant import dequantize_weight
+
+                kernel = dequantize_weight(kernel, qscale, dtype)
+                qscale = None
+        k = kernel.astype(dtype) if kernel.dtype != jnp.int8 else kernel
 
         if mode == DENSE:
-            y = x @ k
+            if qscale is not None:
+                from vlm_compression_tpu.ops.quant import int8_matmul
+
+                y = int8_matmul(x, kernel, qscale)
+            else:
+                y = x @ k
         else:
             # the mask is OPTIONAL: a model initialized/applied without a
             # masks collection (or whose collection lacks this layer) runs
@@ -91,7 +110,11 @@ class SparseLinear(nn.Module):
             # unpacked once for the LoRA paths
             packed = mask is not None and mask.dtype == jnp.uint32
             if mode == MASKED or self.lora_rank == 0:
-                if mask is None:
+                if qscale is not None:
+                    from vlm_compression_tpu.ops.quant import int8_matmul
+
+                    y = int8_matmul(x, kernel, qscale, mask)
+                elif mask is None:
                     y = x @ k
                 elif packed:
                     y = masked_matmul_packed(x, k, mask)
