@@ -48,6 +48,8 @@ def parse_args(argv=None):
     p.add_argument("--num_data_first_stage", type=int, default=32)
     p.add_argument("--num_noise", type=int, default=1)
     p.add_argument("--max_sparsity_per_layer", type=float, default=0.8)
+    p.add_argument("--owl_m", type=float, default=5.0,
+                   help="OWL outlier threshold for score_method owl_*")
     p.add_argument("--sparsity_dict", default=None)
     p.add_argument("--t5_model_prefix", default="t5_model")
     p.add_argument("--vit_model_prefix", default="visual_encoder")
@@ -212,6 +214,7 @@ def main(argv=None):
             num_data_first_stage=args.num_data_first_stage,
             num_noise=args.num_noise,
             max_sparsity_per_layer=args.max_sparsity_per_layer,
+            owl_m=args.owl_m,
             sparsity_dict=sparsity_dict_loaded,
             t5_model_prefix=args.t5_model_prefix,
             vit_model_prefix=args.vit_model_prefix,

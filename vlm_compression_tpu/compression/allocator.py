@@ -300,19 +300,20 @@ class LayerSparsity:
         compute_the_sparsity_per_group.  The "avg" aggregate divides by
         group size, i.e. scores become outlier FRACTIONS."""
         params = variables["params"]
-        m = float(getattr(self, "owl_m", 5.0))
+        m = float(self.owl_m)
+
+        def find(tree, path):
+            for p in path:
+                tree = tree[p]
+            v = tree["input"]
+            return v[0] if isinstance(v, (tuple, list)) else v
 
         @jax.jit
-        def ssq_per_key(batch):
-            _, aux = self.model.module.apply(
-                variables, **batch, mutable=["calib"])
-
-            def find(tree, path):
-                for p in path:
-                    tree = tree[p]
-                v = tree["input"]
-                return v[0] if isinstance(v, (tuple, list)) else v
-
+        def ssq_per_key(v, batch):
+            # variables passed as an ARGUMENT: closing over them would bake
+            # the whole weight tree into the jaxpr as constants (executable
+            # bloat + re-embedding per batch shape)
+            _, aux = self.model.module.apply(v, **batch, mutable=["calib"])
             out = {}
             for k in keys:
                 x = find(aux["calib"], k).astype(jnp.float32)
@@ -322,19 +323,19 @@ class LayerSparsity:
         ssq = None
         batches = self._batches()
         for b in batches:
-            s = ssq_per_key(b)
+            s = ssq_per_key(variables, b)
             ssq = s if ssq is None else {k: ssq[k] + s[k] for k in keys}
 
         @jax.jit
-        def outliers(p):
+        def outliers(p, sq):
             out = {}
             for k in keys:
                 w = jnp.abs(_tree_get(p, k)["kernel"].astype(jnp.float32)).T
-                a = w * jnp.sqrt(ssq[k])[None, :]
+                a = w * jnp.sqrt(sq[k])[None, :]
                 out[k] = jnp.sum(a > m * jnp.mean(a))
             return out
 
-        return {k: float(v) for k, v in outliers(params).items()}
+        return {k: float(v) for k, v in outliers(params, ssq).items()}
 
     # -- MeZO full-model drift scorer (reference :495-575) -------------
     def _score_mezo_diff(self, variables, keys):

@@ -82,6 +82,7 @@ class LayerWisePrunerBase(BasePruner):
     """
 
     with_hessian = False
+    owl_m: float = 5.0  # OWL outlier threshold (score_method owl_*)
 
     def __init__(self, model: FlaxModel, data_loader,
                  prune_spec: Optional[str] = None,
@@ -156,6 +157,7 @@ class LayerWisePrunerBase(BasePruner):
             num_noise=self.num_noise,
             noise_eps=self.noise_eps,
             prefixes=self._allocation_prefixes(),
+            owl_m=self.owl_m,
         )
         return DictSparsity(alloc.return_sparsity())
 

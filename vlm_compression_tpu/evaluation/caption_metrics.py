@@ -152,7 +152,7 @@ def rouge_l(candidates: Dict, references: Dict, beta: float = 1.2) -> float:
     scores = []
     for cid, cand in candidates.items():
         ct = tokenize(cand)
-        precs, recs = [], []
+        precs, recs = [0.0], [0.0]   # empty reference list scores 0
         for ref in references[cid]:
             rt = tokenize(ref)
             l = _lcs_len(ct, rt)

@@ -18,7 +18,14 @@ from vlm_compression_tpu.ops.masks import (  # noqa: F401
     ria_metric,
     unstructured_mask,
     nm_structured_mask,
+    transposable_nm_mask,
     mask_density,
+)
+from vlm_compression_tpu.ops.quant import (  # noqa: F401
+    dequantize_params_tree,
+    int8_matmul,
+    quantize_params_tree,
+    quantize_weight,
 )
 from vlm_compression_tpu.ops.sparsegpt import sparsegpt_prune  # noqa: F401
 from vlm_compression_tpu.ops.dsnot import dsnot_refine_mask  # noqa: F401

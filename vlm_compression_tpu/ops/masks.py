@@ -116,14 +116,21 @@ def transposable_nm_mask(metric: jnp.ndarray, n: int, m: int) -> jnp.ndarray:
     n:m, so W and Wᵀ products share one sparsity pattern — relevant for
     sparse TRAINING, where the backward pass multiplies by Wᵀ).
 
+    Convention matches ``nm_structured_mask``: PRUNE n of every m, i.e.
+    each tile row and column keeps at most ``m − n`` entries.
+
     Greedy 2-approximation per m×m tile: visit entries by descending
     metric; keep one iff its tile-row and tile-column each still have
-    fewer than n kept.  Runs as a fixed m² -step `fori_loop` vmapped over
-    tiles (no data-dependent shapes).  Requires units % m == 0 and
-    in % m == 0.
+    fewer than ``m − n`` kept.  The greedy may keep FEWER than the
+    one-sided mask would (a tile can saturate at ≥ (m−n)·m/2 keeps
+    instead of (m−n)·m — realized sparsity can exceed n/m; acceptable for
+    the transposable setting, which trades density for the two-sided
+    constraint).  Runs as a fixed m²-step `fori_loop` vmapped over tiles
+    (no data-dependent shapes).  Requires units % m == 0 and in % m == 0.
     """
     units, n_in = metric.shape
     assert units % m == 0 and n_in % m == 0, (units, n_in, m)
+    n = m - n  # keep-limit per tile row/column
     t = metric.astype(jnp.float32).reshape(units // m, m, n_in // m, m)
     tiles = t.transpose(0, 2, 1, 3).reshape(-1, m, m)     # (T, m, m)
 

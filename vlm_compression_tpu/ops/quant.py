@@ -39,13 +39,10 @@ def dequantize_weight(q: jnp.ndarray, scale: jnp.ndarray,
     return (q.astype(jnp.float32) * scale[None, :]).astype(dtype)
 
 
-def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
-                mask=None) -> jnp.ndarray:
-    """y = (x @ (q ⊙ mask)) · scale, scale applied to the output column.
-
-    The int8 weight feeds the MXU directly (int8 inputs accumulate in
-    int32/float32); only the per-output scale multiply happens at fp32.
-    """
+def _int8_matmul_ref(x, q, mask):
+    """XLA fallback: expand to float (XLA may or may not fuse the convert
+    into the dot — the Pallas path below guarantees the int8 weights stay
+    int8 in HBM and expand per-tile in VMEM)."""
     qf = q.astype(x.dtype)
     if mask is not None:
         from vlm_compression_tpu.ops.bitmask import is_packed, unpack_mask
@@ -53,10 +50,109 @@ def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
         if is_packed(mask):
             mask = unpack_mask(mask, q.shape[0])
         qf = jnp.where(mask, qf, jnp.zeros((), qf.dtype))
-    y = jax.lax.dot_general(
+    return jax.lax.dot_general(
         x, qf, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    return (y * scale).astype(x.dtype)
+
+
+def _int8_matmul_pallas(x2, q, packed):
+    """y2 = x2 @ dequant-in-VMEM(q [⊙ packed-mask]).  Weight tiles travel
+    HBM→VMEM as int8 (half of bf16 bytes, quarter of fp32) and expand on
+    the VPU right before the MXU; the packed-mask variant also expands
+    2-bit/weight mask words there (same interleave as masked_matmul_packed)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vlm_compression_tpu.ops.masked_linear import _pick
+
+    m, k = x2.shape
+    _, n = q.shape
+    bm = _pick(m, (256, 128, 64, 32, 16, 8))
+    bn = _pick(n, (512, 256, 128))
+    bk = 128
+    if bm is None or bn is None or k % bk != 0:
+        return None
+
+    def kernel(*refs):
+        if packed is not None:
+            x_ref, w_ref, m_ref, o_ref, acc_ref = refs
+        else:
+            x_ref, w_ref, o_ref, acc_ref = refs
+
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        w = w_ref[:].astype(x_ref.dtype)
+        if packed is not None:
+            words = pltpu.repeat(m_ref[:], 16, axis=0)
+            shift = (jax.lax.broadcasted_iota(jnp.uint32, w.shape, 0)
+                     // jnp.uint32(8))
+            bits = (words >> shift) & jnp.uint32(1)
+            w = jnp.where(bits == jnp.uint32(1), w, jnp.zeros((), w.dtype))
+        acc_ref[:] += jnp.dot(x_ref[:], w,
+                              preferred_element_type=jnp.float32)
+
+        @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, l: (i, l)),
+        pl.BlockSpec((bk, bn), lambda i, j, l: (l, j)),
+    ]
+    args = [x2, q]
+    if packed is not None:
+        in_specs.append(pl.BlockSpec((8, bn), lambda i, j, l: (l, j)))
+        args.append(packed)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm, n // bn, k // bk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, l: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(*args)
+
+
+# Pallas path is OPT-IN: it keeps weight tiles int8 in HBM (half of bf16
+# bytes) and expands them in VMEM, but the int8→float relayout inside the
+# kernel measured 8× slower than XLA's expand+dot at (256×2048×2048) on a
+# v5e — int8 VMEM tiles are 32-sublane, float 8/16-sublane, and Mosaic's
+# cross-tiling convert is expensive.  XLA's fallback is the measured-fast
+# default; flip this for memory-bound serving where HBM bytes dominate.
+_USE_PALLAS_INT8 = False
+
+
+def use_pallas_int8_matmul(enable: bool) -> None:
+    global _USE_PALLAS_INT8
+    _USE_PALLAS_INT8 = enable
+
+
+def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
+                mask=None) -> jnp.ndarray:
+    """y = (x @ (q ⊙ mask)) · scale, scale applied to the output column.
+
+    Weights live in HBM as int8 (4× smaller than fp32 at rest).  The
+    compute path is XLA expand+dot by default; `use_pallas_int8_matmul`
+    selects the fused per-tile VMEM expansion (see note above).
+    """
+    from vlm_compression_tpu.ops.bitmask import is_packed
+
+    lead = x.shape[:-1]
+    out = None
+    if (_USE_PALLAS_INT8 and jax.default_backend() == "tpu"
+            and (mask is None or is_packed(mask))):
+        x2 = x.reshape(-1, x.shape[-1])
+        out = _int8_matmul_pallas(x2, q, mask)
+        if out is not None:
+            out = out.reshape(*lead, q.shape[1])
+    if out is None:
+        out = _int8_matmul_ref(x, q, mask)
+    return (out * scale).astype(x.dtype)
 
 
 def quantize_params_tree(params: dict, min_size: int = 0) -> dict:
