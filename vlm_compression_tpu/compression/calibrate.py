@@ -263,6 +263,27 @@ def _start_mask_prewarm(adapter, new_params, mask_fn, sparsity_for,
                                       with_hessian=with_hessian)])
 
 
+def fuse_batch_dicts(batches: Sequence[dict]) -> Sequence[dict]:
+    """Concatenate a list of equal-schema batch dicts into one (see the
+    batch-fusion note in calibrate_and_prune_tower).  Array values concat
+    on axis 0; non-arrays keep the first batch's value.  Returns the input
+    unchanged when fusion is not applicable."""
+    if len(batches) <= 1:
+        return batches
+    first = batches[0]
+    if any(set(b.keys()) != set(first.keys()) for b in batches):
+        return batches
+    out = {}
+    for k, v in first.items():
+        vals = [b[k] for b in batches]
+        if (getattr(v, "ndim", 0) > 0
+                and all(getattr(y, "shape", None) == v.shape for y in vals)):
+            out[k] = jnp.concatenate(vals, axis=0)
+        else:
+            out[k] = v
+    return [out]
+
+
 def calibrate_and_prune_tower(
     adapter: TowerAdapter,
     variables: dict,
@@ -310,6 +331,30 @@ def calibrate_and_prune_tower(
         x0, side = stem(variables, b)
         xs.append(x0)
         sides.append(side)
+
+    # FUSE equal-shape batches into one: the sweep then runs ONE fold and
+    # ONE replay dispatch per block instead of len(batches) — dispatch
+    # round-trips are a real cost over a device tunnel, and bigger batch
+    # dims fill the MXU better.  Statistics are sums over samples/tokens,
+    # so concatenation is exact.  Skipped when shapes differ (ragged
+    # calibration data) or for a single batch.
+    if len(xs) > 1:
+        same = all(x.shape == xs[0].shape for x in xs) and all(
+            jax.tree_util.tree_structure(s) ==
+            jax.tree_util.tree_structure(sides[0]) for s in sides)
+        if same:
+            try:
+                fused_side = jax.tree_util.tree_map(
+                    lambda *a: (jnp.concatenate(a, axis=0)
+                                if getattr(a[0], "ndim", 0) > 0
+                                and all(y.shape == a[0].shape for y in a)
+                                and a[0].shape[0] == xs[0].shape[0]
+                                else a[0]),
+                    *sides)
+                xs = [jnp.concatenate(xs, axis=0)]
+                sides = [fused_side]
+            except Exception:  # noqa: BLE001 — ragged sides: keep per-batch
+                pass
 
     # block_fns arrive pre-jitted from the adapter (one compilation per
     # block *structure*, shared across all blocks of a stack)

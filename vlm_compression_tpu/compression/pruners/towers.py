@@ -290,8 +290,17 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
         if prune_llm and is_t5:
             sfor = sfor_global or self.get_sparsity(1.0 - t5_keep)
             if chain:
+                from vlm_compression_tpu.compression.calibrate import (
+                    fuse_batch_dicts,
+                )
+
+                # the engine may have FUSED the calibration batches into
+                # one (see batch-fusion note): align the batch dicts with
+                # however many replayed activations came back
+                bb = (fuse_batch_dicts(batches) if len(vit_outs) == 1
+                      else batches)
                 enc_batches = [dict(b, vit_x=x)
-                               for b, x in zip(batches, vit_outs)]
+                               for b, x in zip(bb, vit_outs)]
                 vit_outs = None  # free
 
                 def enc_embeds_fn(variables, batch):
@@ -318,9 +327,11 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
             variables, enc_outs = res if chain else (res, None)
 
             if chain:
+                bb = (fuse_batch_dicts(enc_batches)
+                      if len(enc_outs) == 1 else enc_batches)
                 dec_batches = [dict(b, enc_x=x)
-                               for b, x in zip(enc_batches, enc_outs)]
-                enc_batches = enc_outs = None  # free vit_x/enc activations
+                               for b, x in zip(bb, enc_outs)]
+                bb = enc_batches = enc_outs = None  # free activations
 
                 def dec_inputs_fn(variables, batch):
                     return module.apply(
@@ -345,8 +356,14 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
             # passes t5_model_prefix="llm_model")
             sfor = sfor_global or self.get_sparsity(1.0 - t5_keep)
             if chain:
+                from vlm_compression_tpu.compression.calibrate import (
+                    fuse_batch_dicts,
+                )
+
+                bb = (fuse_batch_dicts(batches) if len(vit_outs) == 1
+                      else batches)
                 llm_batches = [dict(b, vit_x=x)
-                               for b, x in zip(batches, vit_outs)]
+                               for b, x in zip(bb, vit_outs)]
                 vit_outs = None
 
                 def llm_inputs_fn(variables, batch):
