@@ -87,9 +87,14 @@ def _pick(dim, candidates):
 def _masked_matmul_pallas(x2, w, mask):
     m, k = x2.shape
     k2, n = w.shape
-    bm = _pick(m, (256, 128, 64, 32, 16, 8))
+    # tile order from an on-chip sweep at (4096, 2048, 2048) bf16:
+    # bm1024/bn512/bk512 ≈ 4.8 ms vs 7.6 ms at the old 256/512/512
+    # (and the XLA where+dot measured 23.8 ms in the same harness —
+    # though an earlier differently-fenced measurement had XLA ahead;
+    # tunnel timings disagree, hence the opt-in flag below)
+    bm = _pick(m, (1024, 512, 256, 128, 64, 32, 16, 8))
     bn = _pick(n, (512, 256, 128))
-    bk = _pick(k, (512, 256, 128))
+    bk = _pick(k, (512, 1024, 256, 128))
     if bm is None or bn is None or bk is None:
         return None
     grid = (m // bm, n // bn, k // bk)
