@@ -112,3 +112,23 @@ def test_quantized_model_forward():
     assert np.isfinite(float(out_q["loss"]))
     # int8 error stays small at tiny scale
     assert abs(float(out_q["loss"]) - float(out_fp["loss"])) < 0.5
+
+
+def test_int8_matmul_dynamic_accuracy():
+    from vlm_compression_tpu.ops.quant import int8_matmul_dynamic
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32))
+    q, s = quantize_weight(w)
+    want = np.asarray(x @ dequantize_weight(q, s))
+    got = np.asarray(int8_matmul_dynamic(x, q, s))
+    # W8A8 error: relative to output scale, bounded by activation rounding
+    denom = np.abs(want).max()
+    assert np.abs(got - want).max() / denom < 0.02
+
+    # masked variant
+    m = jnp.asarray(rng.random((128, 64)) < 0.5)
+    want_m = np.asarray(x @ jnp.where(m, dequantize_weight(q, s), 0.0))
+    got_m = np.asarray(int8_matmul_dynamic(x, q, s, m))
+    assert np.abs(got_m - want_m).max() / denom < 0.02

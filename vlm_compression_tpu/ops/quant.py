@@ -188,3 +188,35 @@ def dequantize_params_tree(params: dict, dtype=jnp.float32) -> dict:
         out["kernel"] = dequantize_weight(out["kernel"],
                                           out.pop("kernel_scale"), dtype)
     return out
+
+
+def int8_matmul_dynamic(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
+                        mask=None) -> jnp.ndarray:
+    """True int8×int8 product: activations quantize per-ROW (absmax
+    symmetric) at runtime, the int8×int8 dot accumulates in int32 on the
+    MXU (double the bf16 rate on v5e-class chips), and the rank-1 outer
+    product of (row activation scale) × (column weight scale) rescales the
+    int32 result.
+
+    This is the W8A8 half of the reference's bitsandbytes LLM.int8 scheme
+    WITHOUT the fp16 outlier decomposition — accurate enough for towers
+    without emergent outlier features (ViT, small/medium LMs); prefer
+    `int8_matmul` (W8 only) where activation outliers matter.
+    """
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    ax = jnp.max(jnp.abs(x2), axis=1)
+    sx = jnp.maximum(ax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x2 / sx[:, None]), -127, 127).astype(jnp.int8)
+    qw = q
+    if mask is not None:
+        from vlm_compression_tpu.ops.bitmask import is_packed, unpack_mask
+
+        if is_packed(mask):
+            mask = unpack_mask(mask, q.shape[0])
+        qw = jnp.where(mask, q, jnp.zeros((), q.dtype))
+    acc = jax.lax.dot_general(
+        xq, qw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx[:, None] * scale[None, :]
+    return y.reshape(*lead, q.shape[1]).astype(x.dtype)
