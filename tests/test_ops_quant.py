@@ -132,3 +132,24 @@ def test_int8_matmul_dynamic_accuracy():
     want_m = np.asarray(x @ jnp.where(m, dequantize_weight(q, s), 0.0))
     got_m = np.asarray(int8_matmul_dynamic(x, q, s, m))
     assert np.abs(got_m - want_m).max() / denom < 0.02
+
+
+def test_sparse_linear_w8a8_mode():
+    from vlm_compression_tpu.models.layers import SparseLinear
+    from vlm_compression_tpu.ops.quant import use_dynamic_int8
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    layer = SparseLinear(32)
+    variables = dict(layer.init({"params": jax.random.key(0)}, x))
+    qvars = dict(variables, params=quantize_params_tree(variables["params"]))
+    want = layer.apply(
+        dict(variables, params=dequantize_params_tree(qvars["params"])),
+        x, mode="dense")
+    use_dynamic_int8(True)
+    try:
+        got = layer.apply(qvars, x, mode="dense")
+    finally:
+        use_dynamic_int8(False)
+    denom = float(jnp.abs(want).max())
+    assert float(jnp.abs(got - want).max()) / denom < 0.02

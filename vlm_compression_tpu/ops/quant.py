@@ -220,3 +220,20 @@ def int8_matmul_dynamic(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * sx[:, None] * scale[None, :]
     return y.reshape(*lead, q.shape[1]).astype(x.dtype)
+
+
+# When enabled, SparseLinear's int8 paths use the W8A8 dynamic product
+# (per-row activation quantization + int8×int8 MXU) instead of the
+# weight-only expand+dot — measured 7.8× faster at 2048³ on a v5e, at the
+# cost of activation rounding error (no outlier decomposition: avoid for
+# towers with emergent outlier features).
+_DYNAMIC_INT8 = False
+
+
+def use_dynamic_int8(enable: bool) -> None:
+    global _DYNAMIC_INT8
+    _DYNAMIC_INT8 = enable
+
+
+def dynamic_int8_enabled() -> bool:
+    return _DYNAMIC_INT8
