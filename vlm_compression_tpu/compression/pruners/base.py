@@ -170,6 +170,14 @@ class LayerWisePrunerBase(BasePruner):
         pruner will sweep — overridden by each orchestration base."""
         return []
 
+    def _prewarm_adapters(self):
+        """Tower adapters mirroring the ones prune() will build, for
+        warming the fold/replay block programs — overridden where the
+        orchestration base supports it.  The stems here are only
+        eval_shape'd, and the expensive block jits are shared process-wide
+        (adapters._BLOCK_JIT_CACHE), so warmed programs ARE the sweep's."""
+        return []
+
     def prewarm(self, join: bool = True):
         """Load/compile every mask-kernel executable this pruner will use,
         concurrently, BEFORE the sweep.
@@ -189,13 +197,34 @@ class LayerWisePrunerBase(BasePruner):
         from concurrent.futures import ThreadPoolExecutor
 
         from vlm_compression_tpu.compression.calibrate import (
+            _fold_warm_inputs,
+            _warm_fold_programs,
             _warm_mask_shape,
+            fuse_batch_dicts,
             linear_paths,
             tree_get,
         )
 
         variables = self.model.variables
         jobs = {}
+        fold_jobs = []
+        adapters = self._prewarm_adapters()
+        if adapters:
+            # fold/replay programs key on the FUSED calibration batch
+            # shapes (the sweep fuses equal-shape batches)
+            try:
+                batch0 = fuse_batch_dicts(self.batches())[0]
+            except Exception:  # noqa: BLE001 — no data: skip fold warm
+                batch0 = None
+            if batch0 is not None:
+                for ad in adapters:
+                    try:
+                        inputs = _fold_warm_inputs(ad, variables, batch0,
+                                                   self.with_hessian)
+                    except Exception:  # noqa: BLE001 — shape mismatch: skip
+                        continue
+                    fold_jobs.append((ad,) + inputs
+                                     + (self.with_hessian, "masked"))
         for subtree, tower, keep in self._prewarm_towers():
             if keep is None or keep >= 1.0:
                 continue
@@ -217,15 +246,17 @@ class LayerWisePrunerBase(BasePruner):
                     # at equal shapes
                     jobs[(tower, shape, dt, 1.0 - keep, g)] = mask_fn
 
-        if not jobs:
+        if not jobs and not fold_jobs:
             return None
 
         def work():
-            with ThreadPoolExecutor(max_workers=min(len(jobs), 10)) as ex:
-                list(ex.map(
-                    lambda it: _warm_mask_shape(
-                        it[1], self.with_hessian, *it[0][1:]),
-                    jobs.items()))
+            tasks = ([(lambda it=it: _warm_mask_shape(
+                        it[1], self.with_hessian, *it[0][1:]))
+                      for it in jobs.items()]
+                     + [(lambda fj=fj: _warm_fold_programs(*fj))
+                        for fj in fold_jobs])
+            with ThreadPoolExecutor(max_workers=min(len(tasks), 10)) as ex:
+                list(ex.map(lambda t: t(), tasks))
 
         t = threading.Thread(target=work, daemon=True)
         t.start()

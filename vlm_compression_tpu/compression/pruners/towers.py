@@ -223,6 +223,47 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
         # prefixes take part in sparsity allocation (Q-Former excluded)
         return (self.vit_model_prefix, self.t5_model_prefix)
 
+    def _prewarm_adapters(self):
+        """Adapters with the non-chained stems: stems are only
+        eval_shape'd during the warm, and the chained stems produce the
+        same block-program shapes (same sequence composition), so the
+        warmed block jits (shared via adapters._BLOCK_JIT_CACHE) are
+        exactly the sweep's."""
+        module = self.model.module
+        vit_cfg = module.cfg.vit
+        is_t5 = hasattr(module.cfg, "t5")
+        lm_cfg = module.cfg.t5 if is_t5 else module.cfg.llm
+        out = []
+        if self.vit_prune_spec:
+            def vit_stem(variables, batch):
+                return module.apply(
+                    variables, batch["image"],
+                    method=lambda m, img: m.visual_encoder.embed(img)), {}
+
+            out.append(A.make_vit_adapter(vit_cfg, vit_stem,
+                                          (self.vit_model_prefix,)))
+        if self.t5_prune_spec and is_t5:
+            out.append(A.make_t5_encoder_adapter(
+                lm_cfg,
+                lambda v, b: module.apply(
+                    v, b, method=lambda m, bb: _blip_encoder_inputs(
+                        m, bb, "masked")),
+                (self.t5_model_prefix, "encoder")))
+            out.append(A.make_t5_decoder_adapter(
+                lm_cfg,
+                lambda v, b: module.apply(
+                    v, b, method=lambda m, bb: _blip_decoder_inputs(
+                        m, bb, "masked", "masked")),
+                (self.t5_model_prefix, "decoder")))
+        elif self.t5_prune_spec:
+            out.append(A.make_llama_adapter(
+                lm_cfg,
+                lambda v, b: module.apply(
+                    v, b, method=lambda m, bb: _blip_llm_inputs(
+                        m, bb, "masked")),
+                (self.t5_model_prefix,)))
+        return out
+
     def prune(self, lora_model: bool = True):
         module = self.model.module   # Blip2T5Instruct or Blip2VicunaInstruct
         vit_cfg = module.cfg.vit
