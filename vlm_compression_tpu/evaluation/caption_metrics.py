@@ -1,36 +1,83 @@
-"""Caption metrics: corpus BLEU-1..4 and CIDEr-D.
+"""COCO caption metrics with pycocoevalcap-faithful semantics.
 
-pycocoevalcap is not in the image, so both metrics are implemented from
-their definitions (Papineni et al. 2002; Vedantam et al. 2015) with the
-same conventions the COCO caption eval uses:
+The reference scores captions through ``pycocoevalcap``
+(``lavis/tasks/captioning.py:85-119``): PTBTokenizer → Bleu(4) / METEOR /
+ROUGE_L / CIDEr (the pycocoevalcap "CIDEr" scorer implements the CIDEr-D
+formula: count clipping + gaussian length penalty), with
+``agg_metrics = CIDEr + BLEU-4`` (``captioning.py:99``).
 
-  * BLEU: corpus-level, modified n-gram precision clipped by the max
-    reference count, closest-length brevity penalty, uniform weights.
-    (pycocoevalcap's default "closest" effective reference length.)
-  * CIDEr-D: tf-idf over 1-4-grams (df from the reference corpus, log),
-    length-penalized gaussian factor exp(-(δl)²/(2·6²)), clipped
-    candidate counts, ×10 scale, averaged over n.
+pycocoevalcap itself (and its Java jars) is not in this image, so each
+scorer is implemented here from its published definition with the exact
+conventions of the pycocoevalcap code path:
 
-Tokenization: PTBTokenizer-lite — lowercase, strip punctuation, split on
-whitespace (the reference corpus goes through the same path, so scores
-are internally consistent).
+* **Tokenization** (`ptb_tokenize`): Stanford ``PTBTokenizer`` with
+  ``-preserveLines -lowerCase`` followed by removal of the punctuation
+  token list hard-coded in ``pycocoevalcap/tokenizer/ptbtokenizer.py``.
+  We reproduce this with nltk's ``TreebankWordTokenizer`` — the canonical
+  Python port of the same Penn-Treebank ``tokenizer.sed`` script Stanford
+  implements — with ``convert_parentheses=True`` so bracket tokens take
+  their ``-LRB-``-style names and are removed like the Java path does.
+* **BLEU** (`corpus_bleu`): corpus-level with per-sentence "closest"
+  effective reference length (ties → shorter), cumulative clipped
+  precisions smoothed by the scorer's ``tiny=1e-15 / small=1e-9``
+  constants, brevity penalty ``exp(1 - 1/ratio)`` iff ``ratio < 1``
+  (``bleu_scorer.py``).
+* **CIDEr** (`cider_d`): tf-idf over 1..4-grams with
+  ``idf = log(num_images) - log(max(df, 1))``, candidate-count clipping
+  against each reference, gaussian length penalty ``exp(-δ²/(2·6²))``,
+  ×10, averaged over n and refs (``cider_scorer.py``).
+* **ROUGE_L** (`rouge_l`): per image, max LCS precision/recall over
+  references, F with ``beta=1.2`` (``rouge.py``).
+* **METEOR** (`meteor`): the Java METEOR-1.5 jar cannot run offline (no
+  JVM, no paraphrase tables); `meteor` implements the Banerjee-Lavie
+  METEOR with exact + Porter-stem matcher stages
+  (``F = 10PR/(R+9P)``, ``penalty = 0.5·(chunks/matches)³``), averaged
+  over images with the per-reference max.  This deviates numerically
+  from METEOR-1.5 (documented here on purpose); ``agg_metrics`` never
+  uses METEOR, so reference comparability of the headline number is
+  unaffected.
 
-The reference aggregates ``agg_metrics = CIDEr + BLEU-4``
-(lavis/tasks/captioning.py:99).
+Golden tests: ``tests/test_caption_metrics_golden.py`` pins these
+scorers against an independently transcribed per-sentence oracle of the
+pycocoevalcap algorithms, hand-derived closed-form values, and (for
+BLEU) nltk's independent ``corpus_bleu`` implementation.
 """
 
 from __future__ import annotations
 
 import math
-import re
 from collections import Counter, defaultdict
 from typing import Dict, List, Sequence, Tuple
 
-_PUNCT = re.compile(r"[^\w\s]")
+# Token list removed after tokenization by pycocoevalcap's PTBTokenizer
+# wrapper (ptbtokenizer.py PUNCTUATIONS).
+PUNCTUATIONS = frozenset([
+    "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+    ".", "?", "!", ",", ":", "-", "--", "...", ";",
+])
+
+_treebank = None
 
 
-def tokenize(s: str) -> List[str]:
-    return _PUNCT.sub("", s.lower()).split()
+def _get_treebank():
+    global _treebank
+    if _treebank is None:
+        from nltk.tokenize import TreebankWordTokenizer
+
+        _treebank = TreebankWordTokenizer()
+    return _treebank
+
+
+def ptb_tokenize(s: str) -> List[str]:
+    """PTBTokenizer-faithful tokenization (lowercase, punctuation-token
+    removal).  See module docstring for the fidelity argument."""
+    s = s.replace("\n", " ").replace("\r", " ")
+    toks = _get_treebank().tokenize(s, convert_parentheses=True)
+    return [t.lower() for t in toks if t not in PUNCTUATIONS]
+
+
+# Kept as the module-level tokenizer hook so the scorers share one path.
+tokenize = ptb_tokenize
 
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:
@@ -38,61 +85,63 @@ def _ngrams(tokens: Sequence[str], n: int) -> Counter:
 
 
 # ---------------------------------------------------------------------------
-# BLEU
+# BLEU (pycocoevalcap bleu_scorer.py semantics)
 # ---------------------------------------------------------------------------
 
+_TINY = 1e-15   # so zero correct counts stay ~0 instead of nan
+_SMALL = 1e-9
 
-def corpus_bleu(candidates: Dict, references: Dict, max_n: int = 4
-                ) -> List[float]:
+
+def corpus_bleu(candidates: Dict, references: Dict, max_n: int = 4,
+                pre_tokenized: bool = False) -> List[float]:
     """candidates: {id: str}; references: {id: [str, ...]}.
-    Returns [BLEU-1, ..., BLEU-max_n]."""
-    clipped = [0] * max_n
-    totals = [0] * max_n
-    cand_len = 0
-    ref_len = 0
+    Returns [BLEU-1, ..., BLEU-max_n] (corpus-level)."""
+    correct = [0] * max_n
+    guess = [0] * max_n
+    testlen = 0
+    reflen = 0
     for cid, cand in candidates.items():
-        c = tokenize(cand)
-        refs = [tokenize(r) for r in references[cid]]
-        cand_len += len(c)
-        # closest reference length (ties → shorter)
-        ref_len += min((abs(len(r) - len(c)), len(r)) for r in refs)[1]
+        c = cand if pre_tokenized else tokenize(cand)
+        refs = [r if pre_tokenized else tokenize(r)
+                for r in references[cid]]
+        testlen += len(c)
+        # "closest" effective reference length; ties broken to shorter
+        reflen += min((abs(len(r) - len(c)), len(r)) for r in refs)[1]
         for n in range(1, max_n + 1):
             cn = _ngrams(c, n)
             max_ref = Counter()
             for r in refs:
                 for g, cnt in _ngrams(r, n).items():
                     max_ref[g] = max(max_ref[g], cnt)
-            totals[n - 1] += sum(cn.values())
-            clipped[n - 1] += sum(min(cnt, max_ref.get(g, 0))
+            guess[n - 1] += max(0, len(c) - n + 1)
+            correct[n - 1] += sum(min(cnt, max_ref.get(g, 0))
                                   for g, cnt in cn.items())
-    # smoothed-0 (no smoothing, like pycocoevalcap): p_n = clipped/total
-    precisions = [(clipped[i] / totals[i]) if totals[i] else 0.0
-                  for i in range(max_n)]
-    bp = 1.0 if cand_len > ref_len else (
-        math.exp(1 - ref_len / cand_len) if cand_len > 0 else 0.0)
-    out = []
-    for n in range(1, max_n + 1):
-        if any(p == 0 for p in precisions[:n]):
-            out.append(0.0)
-            continue
-        log_avg = sum(math.log(p) for p in precisions[:n]) / n
-        out.append(bp * math.exp(log_avg))
-    return out
+    bleus = []
+    prod = 1.0
+    for k in range(max_n):
+        prod *= (correct[k] + _TINY) / (guess[k] + _SMALL)
+        bleus.append(prod ** (1.0 / (k + 1)))
+    ratio = (testlen + _TINY) / (reflen + _SMALL)
+    if ratio < 1:
+        bp = math.exp(1 - 1.0 / ratio)
+        bleus = [b * bp for b in bleus]
+    return bleus
 
 
 # ---------------------------------------------------------------------------
-# CIDEr-D
+# CIDEr-D (pycocoevalcap cider_scorer.py semantics)
 # ---------------------------------------------------------------------------
 
 
 def cider_d(candidates: Dict, references: Dict, max_n: int = 4,
-            sigma: float = 6.0) -> float:
+            sigma: float = 6.0, pre_tokenized: bool = False) -> float:
     ids = list(candidates)
     # document frequency over reference sets
     df: List[Dict[Tuple, int]] = [defaultdict(int) for _ in range(max_n)]
     ref_ngrams = {}
     for cid in ids:
-        refs = [tokenize(r) for r in references[cid]]
+        refs = [r if pre_tokenized else tokenize(r)
+                for r in references[cid]]
         ref_ngrams[cid] = refs
         for n in range(max_n):
             seen = set()
@@ -114,7 +163,7 @@ def cider_d(candidates: Dict, references: Dict, max_n: int = 4,
 
     scores = []
     for cid in ids:
-        c = tokenize(candidates[cid])
+        c = candidates[cid] if pre_tokenized else tokenize(candidates[cid])
         score_n = [0.0] * max_n
         for n in range(max_n):
             vc, nc, lc = vec(c, n)
@@ -133,6 +182,11 @@ def cider_d(candidates: Dict, references: Dict, max_n: int = 4,
     return sum(scores) / max(len(scores), 1)
 
 
+# ---------------------------------------------------------------------------
+# ROUGE-L (pycocoevalcap rouge.py semantics)
+# ---------------------------------------------------------------------------
+
+
 def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
     if not a or not b:
         return 0
@@ -145,16 +199,16 @@ def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
     return prev[-1]
 
 
-def rouge_l(candidates: Dict, references: Dict, beta: float = 1.2) -> float:
-    """Corpus ROUGE-L, the pycocoevalcap formula: per image, max LCS
-    precision/recall over references, F_beta with beta=1.2; mean over
-    images."""
+def rouge_l(candidates: Dict, references: Dict, beta: float = 1.2,
+            pre_tokenized: bool = False) -> float:
+    """Corpus ROUGE-L: per image, max LCS precision/recall over
+    references, F_beta with beta=1.2; mean over images."""
     scores = []
     for cid, cand in candidates.items():
-        ct = tokenize(cand)
+        ct = cand if pre_tokenized else tokenize(cand)
         precs, recs = [0.0], [0.0]   # empty reference list scores 0
         for ref in references[cid]:
-            rt = tokenize(ref)
+            rt = ref if pre_tokenized else tokenize(ref)
             l = _lcs_len(ct, rt)
             precs.append(l / max(len(ct), 1))
             recs.append(l / max(len(rt), 1))
@@ -166,20 +220,92 @@ def rouge_l(candidates: Dict, references: Dict, beta: float = 1.2) -> float:
     return sum(scores) / max(len(scores), 1)
 
 
+# ---------------------------------------------------------------------------
+# METEOR (Banerjee & Lavie 2005, exact + Porter-stem stages)
+# ---------------------------------------------------------------------------
+
+_porter = None
+
+
+def _stem(tok: str) -> str:
+    global _porter
+    if _porter is None:
+        from nltk.stem import PorterStemmer
+
+        _porter = PorterStemmer()
+    return _porter.stem(tok)
+
+
+def _align(hyp: Sequence[str], ref: Sequence[str]) -> List[Tuple[int, int]]:
+    """Two-stage greedy alignment: exact matches first (leftmost unused
+    reference position per hypothesis token, in order), then Porter-stem
+    matches over the leftovers.  Returns (hyp_idx, ref_idx) pairs."""
+    pairs: List[Tuple[int, int]] = []
+    used_h = [False] * len(hyp)
+    used_r = [False] * len(ref)
+    for key_h, key_r in (
+        (list(hyp), list(ref)),
+        ([_stem(t) for t in hyp], [_stem(t) for t in ref]),
+    ):
+        for i, h in enumerate(key_h):
+            if used_h[i]:
+                continue
+            for j, r in enumerate(key_r):
+                if not used_r[j] and h == r:
+                    pairs.append((i, j))
+                    used_h[i] = used_r[j] = True
+                    break
+    return sorted(pairs)
+
+
+def _meteor_sentence(hyp: Sequence[str], ref: Sequence[str]) -> float:
+    pairs = _align(hyp, ref)
+    m = len(pairs)
+    if m == 0 or not hyp or not ref:
+        return 0.0
+    p = m / len(hyp)
+    r = m / len(ref)
+    f_mean = 10.0 * p * r / (r + 9.0 * p)
+    # chunks: maximal runs where both indices advance by exactly 1
+    chunks = 1
+    for (h0, r0), (h1, r1) in zip(pairs, pairs[1:]):
+        if h1 != h0 + 1 or r1 != r0 + 1:
+            chunks += 1
+    penalty = 0.5 * (chunks / m) ** 3
+    return f_mean * (1.0 - penalty)
+
+
+def meteor(candidates: Dict, references: Dict,
+           pre_tokenized: bool = False) -> float:
+    """METEOR (exact + Porter-stem matchers).  Per image: max sentence
+    score over references; corpus score = mean over images.  Documented
+    deviation from the Java METEOR-1.5 used by pycocoevalcap — see
+    module docstring."""
+    scores = []
+    for cid, cand in candidates.items():
+        hyp = cand if pre_tokenized else tokenize(cand)
+        best = 0.0
+        for ref in references[cid]:
+            rt = ref if pre_tokenized else tokenize(ref)
+            best = max(best, _meteor_sentence(hyp, rt))
+        scores.append(best)
+    return sum(scores) / max(len(scores), 1)
+
+
 def coco_caption_eval(results: List[dict], gts: Dict[object, List[str]]
                       ) -> Dict[str, float]:
     """results: [{image_id, caption}]; gts: {image_id: [refs]}.
-    Returns Bleu_1..4 + ROUGE_L + CIDEr (+ agg_metrics = CIDEr + BLEU-4,
-    reference captioning.py:99).  METEOR/SPICE are omitted: the official
-    scorers are Java jars with external data files; the reference's
-    agg_metrics never uses them."""
-    cands = {r["image_id"]: r["caption"] for r in results
+    Returns Bleu_1..4 + METEOR + ROUGE_L + CIDEr with
+    ``agg_metrics = CIDEr + BLEU-4`` (reference captioning.py:99).
+    SPICE is omitted (Java scene-graph jar; never part of agg_metrics)."""
+    cands = {r["image_id"]: tokenize(r["caption"]) for r in results
              if r["image_id"] in gts}
-    refs = {cid: gts[cid] for cid in cands}
-    bleu = corpus_bleu(cands, refs)
-    cd = cider_d(cands, refs)
+    refs = {cid: [tokenize(t) for t in gts[cid]] for cid in cands}
+    bleu = corpus_bleu(cands, refs, pre_tokenized=True)
+    cd = cider_d(cands, refs, pre_tokenized=True)
     out = {f"Bleu_{i + 1}": round(b, 4) for i, b in enumerate(bleu)}
-    out["ROUGE_L"] = round(rouge_l(cands, refs), 4)
+    out["METEOR"] = round(meteor(cands, refs, pre_tokenized=True), 4)
+    out["ROUGE_L"] = round(rouge_l(cands, refs, pre_tokenized=True), 4)
     out["CIDEr"] = round(cd, 4)
     out["agg_metrics"] = round(cd + bleu[3], 4)
     return out
