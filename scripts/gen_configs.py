@@ -87,9 +87,12 @@ def main():
     for stem, dataset, task, run, tp, splits in EVAL_GRID:
         for mk in ("flant5xl", "flant5xl_instruct", "opt2.7b", "opt6.7b",
                    "vicuna_instruct"):
+            tree = eval_cfg(mk, dataset, task, run, tp, splits)
+            if stem == "okvqa_zeroshot":
+                # reference okvqa eval yamls: model.apply_lemmatizer True
+                tree["model"]["apply_lemmatizer"] = True
             written.append(_write(
-                f"projects/eval/{stem}_{mk}_eval.yaml",
-                eval_cfg(mk, dataset, task, run, tp, splits)))
+                f"projects/eval/{stem}_{mk}_eval.yaml", tree))
 
     # retrieval (stage-1 blip2 model computes the sim matrix)
     for name, dataset in (("ret_coco", "coco_retrieval"),

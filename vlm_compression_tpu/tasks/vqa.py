@@ -33,7 +33,8 @@ class VQATask(BaseTask):
     def __init__(self, num_beams: int = 5, max_len: int = 10,
                  min_len: int = 1, prompt: str = "",
                  tokenizer=None, qformer_tokenizer=None,
-                 sample_id_key: str = "question_id", **kw):
+                 sample_id_key: str = "question_id",
+                 apply_lemmatizer: bool = False, **kw):
         super().__init__()
         self.num_beams = num_beams
         self.max_len = max_len
@@ -42,16 +43,24 @@ class VQATask(BaseTask):
         self.tokenizer = tokenizer
         self.qformer_tokenizer = qformer_tokenizer or tokenizer
         self.sample_id_key = sample_id_key
+        self.apply_lemmatizer = apply_lemmatizer
         self.answer_list = None
 
     @classmethod
     def setup_task(cls, cfg=None, **kw):
         run = getattr(cfg, "run_cfg", None) if cfg is not None else None
         g = (run.get if hasattr(run, "get") else lambda k, d=None: d)
+        # the reference carries apply_lemmatizer on the MODEL config
+        # (okvqa eval yamls set model.apply_lemmatizer: True and
+        # blip2_t5_instruct.predict_answers applies it :477-478)
+        model = getattr(cfg, "model_cfg", None) if cfg is not None else None
+        mg = (model.get if hasattr(model, "get") else lambda k, d=None: d)
         return cls(num_beams=int(g("num_beams", 5)),
                    max_len=int(g("max_len", 10)),
                    min_len=int(g("min_len", 1)),
-                   prompt=str(g("prompt", "")))
+                   prompt=str(g("prompt", "")),
+                   apply_lemmatizer=bool(mg("apply_lemmatizer", False)
+                                         or g("apply_lemmatizer", False)))
 
     # ------------------------------------------------------------------
     def _decode(self, seqs) -> List[str]:
@@ -109,6 +118,10 @@ class VQATask(BaseTask):
                                    jnp.asarray(q_ids), jnp.asarray(q_mask),
                                    gen_cfg=gen_cfg)
         answers = self._decode(seqs)
+        if self.apply_lemmatizer:
+            from vlm_compression_tpu.evaluation.lemmatize import lemmatize
+
+            answers = lemmatize(answers)
         out = []
         for i, ans in enumerate(answers):
             rec = {"question_id": samples[self.sample_id_key][i],
