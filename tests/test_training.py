@@ -180,3 +180,50 @@ def test_merge_lora_keeps_sparsity():
         np.asarray(m["mask"]), delta, 0.0)
     np.testing.assert_allclose(np.asarray(p["kernel"], np.float32), expect,
                                rtol=2e-2, atol=1e-4)
+
+
+def test_grad_accum_matches_full_batch():
+    """accum_grad_iters=k over k equal micro-batches produces the same
+    optimizer update as one full-batch step (VERDICT item 2; reference
+    base_task.py:262-353 loss/accum + step-every-k semantics)."""
+    model, variables, batch = _tiny_model()
+    tx = make_adamw(weight_decay=0.0)
+
+    state_full = RessaTrainState.create(variables, tx)
+    step_full = jax.jit(make_kd_train_step(model, tx, kl_weight=0.1, T=1.0))
+    full2, m_full = step_full(state_full, batch, 1e-3)
+
+    state_acc = RessaTrainState.create(variables, tx)
+    step_acc = jax.jit(make_kd_train_step(model, tx, kl_weight=0.1, T=1.0,
+                                          accum_grad_iters=2))
+    acc2, m_acc = step_acc(state_acc, batch, 1e-3)
+
+    assert float(m_acc["loss"]) == pytest.approx(float(m_full["loss"]),
+                                                 abs=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(full2.lora),
+                    jax.tree_util.tree_leaves(acc2.lora)):
+        # Adam's first step is ~sign(g)·lr, so f32 reduction-order drift
+        # between mean-of-means and the full mean shows up at ~1e-3
+        # relative; the update semantics are identical (loss matches to
+        # 1e-5 above)
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-2, atol=2e-6)
+
+
+def test_grad_accum_runner_wiring():
+    """RunnerBase passes accum_grad_iters into the task's train step and
+    consumes accum loader batches per fused step."""
+    from vlm_compression_tpu.runners.runner_base import _concat_micro_batches
+
+    micro = [
+        {"input_ids": np.ones((2, 3), np.int32),
+         "labels": np.ones((2, 3), np.int32)},
+        {"input_ids": np.ones((2, 5), np.int32),
+         "labels": np.ones((2, 5), np.int32)},
+    ]
+    out = _concat_micro_batches(micro)
+    assert out["input_ids"].shape == (4, 5)
+    # ragged labels pad with -100, ids with 0
+    assert out["labels"][0, 4] == -100
+    assert out["input_ids"][0, 4] == 0

@@ -40,6 +40,25 @@ from vlm_compression_tpu.parallel.mesh import (
 from vlm_compression_tpu.tasks.retrain import RessaTrainState
 
 
+def _concat_micro_batches(micro):
+    """Stack accum prepared micro-batches along the batch dim, padding
+    ragged sequence lengths (labels with -100, everything else with 0)."""
+    out = {}
+    for k in micro[0]:
+        if not isinstance(micro[0][k], (np.ndarray, jax.Array)):
+            continue
+        arrs = [np.asarray(m[k]) for m in micro]
+        if arrs[0].ndim >= 2:
+            max_len = max(a.shape[1] for a in arrs)
+            fill = -100 if k == "labels" else 0
+            arrs = [np.pad(a, [(0, 0), (0, max_len - a.shape[1])]
+                           + [(0, 0)] * (a.ndim - 2),
+                           constant_values=fill)
+                    if a.shape[1] != max_len else a for a in arrs]
+        out[k] = np.concatenate(arrs, axis=0)
+    return out
+
+
 def _get(cfg, key, default=None):
     if cfg is None:
         return default
@@ -103,9 +122,19 @@ class RunnerBase:
         return self._train_state
 
     @property
+    def accum_grad_iters(self) -> int:
+        return int(_get(self.run_cfg, "accum_grad_iters", 1))
+
+    @property
     def train_step(self):
         if self._train_step is None:
-            step = self.task.make_train_step(self.model.module, self.tx)
+            import inspect
+
+            kw = {}
+            if "accum_grad_iters" in inspect.signature(
+                    self.task.make_train_step).parameters:
+                kw["accum_grad_iters"] = self.accum_grad_iters
+            step = self.task.make_train_step(self.model.module, self.tx, **kw)
             # no donation: the state's frozen params/masks leaves are shared
             # with model.variables (donating would delete them); only the
             # small lora/opt_state buffers are rewritten per step
@@ -223,9 +252,11 @@ class RunnerBase:
     def train_epoch(self, epoch: int) -> Dict[str, str]:
         loader = self.dataloaders["train"]
         iters = int(_get(self.run_cfg, "iters_per_epoch", 0)) or len(loader)
-        accum = int(_get(self.run_cfg, "accum_grad_iters", 1))
-        if accum != 1:
-            logging.warning("accum_grad_iters>1 not yet fused; running 1")
+        accum = self.accum_grad_iters
+        # ``iters`` counts micro-iterations like the reference
+        # (base_task.py:262-353 steps the optimizer every accum iters);
+        # the fused step consumes accum loader batches at once.
+        opt_steps = max(1, iters // accum)
         logger = MetricLogger(delimiter="  ")
         logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
         logger.add_meter("loss", SmoothedValue(window_size=1,
@@ -233,15 +264,20 @@ class RunnerBase:
         state = self.train_state
         sharding = data_sharding(self.mesh)
         it = iter(loader)
-        for i in logger.log_every(range(iters),
+        for i in logger.log_every(range(opt_steps),
                                   int(_get(self.run_cfg, "log_freq", 50)),
                                   f"Train: data epoch: [{epoch}]"):
-            samples = next(it)
-            batch = self.prepare_batch(samples)
+            if accum == 1:
+                batch = self.prepare_batch(next(it))
+            else:
+                micro = [self.prepare_batch(next(it)) for _ in range(accum)]
+                batch = _concat_micro_batches(micro)
             batch = {k: jax.device_put(v, sharding)
                      for k, v in batch.items()
                      if isinstance(v, (np.ndarray, jax.Array))}
-            lr = self.lr_scheduler(epoch, i)
+            # lr follows the reference's per-micro-iteration schedule,
+            # sampled at the first micro index of the fused step
+            lr = self.lr_scheduler(epoch, i * accum)
             state, metrics = self.train_step(state, batch, lr)
             logger.update(loss=float(metrics["loss"]), lr=lr)
         self._train_state = state

@@ -80,16 +80,28 @@ def make_kd_train_step(
     T: float = 2.0,
     student_mode: str = "sparse_lora",
     apply_kwargs: Optional[Dict[str, Any]] = None,
+    accum_grad_iters: int = 1,
 ) -> Callable:
     """Build the fused teacher+student+update step.
 
     Returns ``step(state, batch, lr) -> (state, metrics)`` — jit/pjit it
     with the caller's shardings.  ``batch`` is the model's kwargs dict
     (image, input_ids, attention_mask, labels, …).
+
+    ``accum_grad_iters > 1`` reproduces the reference's gradient
+    accumulation (``base_task.py:262-353``: per-micro-batch loss divided
+    by k, optimizer stepped every k iters) TPU-natively: the incoming
+    batch's leading dim is split into k equal micro-batches and a
+    ``lax.scan`` runs teacher+student+grad per micro-batch, averaging
+    gradients — ONE compiled program, one optimizer update, identical
+    update to the reference's k-iteration loop (and to a single
+    full-batch step, since mean-of-means == full mean at equal micro
+    sizes).
     """
     extra = dict(apply_kwargs or {})
+    accum = int(accum_grad_iters)
 
-    def step(state: RessaTrainState, batch: dict, lr):
+    def forward_and_grad(state, batch):
         teacher = model.apply(
             {"params": state.params}, **batch,
             vit_mode="dense", llm_mode="dense", qformer_mode="dense", **extra)
@@ -104,8 +116,30 @@ def make_kd_train_step(
                                kl_weight, T)
             return loss, (out["loss"], kl)
 
-        (loss, (ce, kl)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.lora)
+        return jax.value_and_grad(loss_fn, has_aux=True)(state.lora)
+
+    def step(state: RessaTrainState, batch: dict, lr):
+        if accum == 1:
+            (loss, (ce, kl)), grads = forward_and_grad(state, batch)
+        else:
+            micro = jax.tree.map(
+                lambda x: x.reshape((accum, x.shape[0] // accum)
+                                    + x.shape[1:]), batch)
+
+            def body(carry, mb):
+                g_acc, l_acc, c_acc, k_acc = carry
+                (loss_i, (ce_i, kl_i)), g_i = forward_and_grad(state, mb)
+                g_acc = jax.tree.map(jnp.add, g_acc, g_i)
+                return (g_acc, l_acc + loss_i, c_acc + ce_i,
+                        k_acc + kl_i), None
+
+            zeros = jax.tree.map(
+                lambda x: jnp.zeros_like(x, jnp.float32), state.lora)
+            (grads, loss, ce, kl), _ = jax.lax.scan(
+                body, (zeros, 0.0, 0.0, 0.0), micro)
+            inv = 1.0 / accum
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            loss, ce, kl = loss * inv, ce * inv, kl * inv
 
         opt_state = state.opt_state
         if hasattr(opt_state, "hyperparams"):
@@ -189,6 +223,8 @@ class ImageTextRetrainTask(BaseTask):
         return cls(kl_weight=float(get("kl_weight", 0.01)),
                    T=float(get("T", 2.0)))
 
-    def make_train_step(self, model, tx, student_mode="sparse_lora"):
+    def make_train_step(self, model, tx, student_mode="sparse_lora",
+                        accum_grad_iters: int = 1):
         return make_kd_train_step(model, tx, self.kl_weight, self.T,
-                                  student_mode)
+                                  student_mode,
+                                  accum_grad_iters=accum_grad_iters)
