@@ -1,0 +1,156 @@
+"""Dialogue + reading-comprehension tasks: tiny end-to-end loops
+(VERDICT round-1 item 5 — these were name-level shells)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vlm_compression_tpu.compression.pruners.base import FlaxModel
+from vlm_compression_tpu.datasets.tokenization import SimpleTokenizer
+from vlm_compression_tpu.models import load_model
+from vlm_compression_tpu.tasks.dialogue_rc import (
+    DialogueTask,
+    GQARCTask,
+    VQARCTask,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_blip2():
+    from vlm_compression_tpu.models.blip2_t5_instruct import (
+        Blip2T5Instruct,
+        Blip2T5InstructConfig,
+    )
+
+    cfg = Blip2T5InstructConfig.tiny()
+    model = Blip2T5Instruct(cfg)
+    b = 2
+    batch = dict(
+        image=jnp.ones((b, 28, 28, 3), jnp.float32) * 0.1,
+        input_ids=jnp.ones((b, 6), jnp.int32),
+        attention_mask=jnp.ones((b, 6), jnp.int32),
+        labels=jnp.ones((b, 5), jnp.int32),
+        qformer_input_ids=jnp.ones((b, 6), jnp.int32),
+        qformer_attention_mask=jnp.ones((b, 6), jnp.int32),
+    )
+    variables = dict(model.init(jax.random.key(0), **batch))
+    return model, variables, batch
+
+
+@pytest.fixture(scope="module")
+def tiny_pnp():
+    module, variables = load_model("pnp_vqa", tiny=True, seed=0)
+    return module, variables
+
+
+def test_dialogue_valid_step_returns_loss(tiny_blip2):
+    model, variables, batch = tiny_blip2
+    task = DialogueTask(prepare_batch=lambda s: batch)
+    losses = task.valid_step(FlaxModel(model, variables), {"any": "thing"})
+    assert len(losses) == 1 and np.isfinite(losses[0])
+
+
+def test_dialogue_after_evaluation_mean_loss():
+    task = DialogueTask()
+    m = task.after_evaluation([1.0, 3.0], split_name="val")
+    assert m["agg_metrics"] == pytest.approx(2.0)
+    assert DialogueTask(report_metric=False).after_evaluation(
+        [1.0])["agg_metrics"] == 0.0
+
+
+def test_dialogue_setup_from_cfg():
+    class Run(dict):
+        pass
+
+    class Cfg:
+        run_cfg = dict(num_beams=2, max_len=12, min_len=3, evaluate=True)
+
+    t = DialogueTask.setup_task(Cfg())
+    assert (t.num_beams, t.max_len, t.min_len) == (2, 12, 3)
+
+
+def _rc_samples(b=2, with_gt=True):
+    s = {
+        "image": np.random.RandomState(0).standard_normal(
+            (b, 16, 16, 3)).astype(np.float32),
+        "text_input": [f"what color is object {i}" for i in range(b)],
+        "question_id": list(range(b)),
+    }
+    if with_gt:
+        s["answers"] = [["red"] * 10 for _ in range(b)]
+        s["answer"] = ["red"] * b
+    return s
+
+
+def test_vqarc_valid_step_triple(tiny_pnp):
+    module, variables = tiny_pnp
+    tok = SimpleTokenizer(vocab_size=64)
+    task = VQARCTask(tokenizer=tok, num_captions=2, cap_max_length=4,
+                     max_len=3)
+    trip = task.valid_step(FlaxModel(module, variables), _rc_samples())[0]
+    gradcams, captions, answers = trip
+    assert len(gradcams) == len(captions) == len(answers) == 2
+    assert "gradcam" in gradcams[0] and len(gradcams[0]["gradcam"]) > 0
+    assert isinstance(captions[0]["caption"], list) \
+        and len(captions[0]["caption"]) == 2
+    assert "answer" in answers[0] and "gt_answers" in answers[0]
+
+
+def test_vqarc_after_evaluation_artifacts(tiny_pnp, tmp_path):
+    module, variables = tiny_pnp
+    tok = SimpleTokenizer(vocab_size=64)
+    task = VQARCTask(tokenizer=tok, num_captions=2, cap_max_length=4,
+                     max_len=3)
+    res = task.valid_step(FlaxModel(module, variables), _rc_samples())
+    rd = str(tmp_path / "result")
+    metrics = task.after_evaluation(res, split_name="val", result_dir=rd)
+    assert "agg_metrics" in metrics
+    assert os.path.exists(os.path.join(rd, "val_gradcam_result.npz"))
+    assert os.path.exists(os.path.join(rd, "val_caption_result.json"))
+    assert os.path.exists(os.path.join(rd, "val_vqa_result.json"))
+
+
+def test_gqarc_exact_match_and_leaderboard(tiny_pnp, tmp_path):
+    module, variables = tiny_pnp
+    tok = SimpleTokenizer(vocab_size=64)
+    task = GQARCTask(tokenizer=tok, num_captions=2, cap_max_length=4,
+                     max_len=3)
+    res = task.valid_step(FlaxModel(module, variables), _rc_samples())
+    recs = res[0][2]
+    assert all("pred_ans" in r and "gt_ans" in r for r in recs)
+
+    rd = str(tmp_path / "result")
+    metrics = task.after_evaluation(res, split_name="val", result_dir=rd)
+    assert 0.0 <= metrics["agg_metrics"] <= 100.0
+
+    # unlabeled split → leaderboard export
+    res2 = task.valid_step(FlaxModel(module, variables),
+                           _rc_samples(with_gt=False))
+    rd2 = str(tmp_path / "result2")
+    task.after_evaluation(res2, split_name="test", result_dir=rd2)
+    board = os.path.join(rd2, "leaderboard.json")
+    assert os.path.exists(board)
+    with open(board) as f:
+        rows = json.load(f)
+    assert rows and "questionId" in rows[0] and "prediction" in rows[0]
+
+
+def test_gqarc_normalization_in_scoring(tmp_path):
+    """Punctuation/digit-article normalization applies under generate."""
+    task = GQARCTask(tokenizer=None, inference_method="generate")
+    rd = str(tmp_path / "r")
+    os.makedirs(rd, exist_ok=True)
+    f = os.path.join(rd, "res.json")
+    with open(f, "w") as fh:
+        # the VQA protocol maps number words to digits and strips
+        # punctuation: "two!" normalizes to "2" (gt stays raw, like the
+        # reference's pred-only normalization, :211-215)
+        json.dump([{"question_id": 1, "pred_ans": "two!",
+                    "gt_ans": "2"}], fh)
+    m = task._report_metrics(f, "val", rd)
+    assert m["agg_metrics"] == pytest.approx(100.0)

@@ -7,6 +7,7 @@ the registered task named in ``run_cfg.task``
 
 from vlm_compression_tpu.common.registry import registry
 from vlm_compression_tpu.tasks import classification  # noqa: F401
+from vlm_compression_tpu.tasks import dialogue_rc  # noqa: F401
 from vlm_compression_tpu.tasks import pretrain  # noqa: F401
 from vlm_compression_tpu.tasks import retrieval  # noqa: F401
 from vlm_compression_tpu.tasks.base import BaseTask  # noqa: F401

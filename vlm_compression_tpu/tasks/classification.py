@@ -128,24 +128,4 @@ class LanguageModelingTask(BaseTask):
         return metrics
 
 
-@registry.register_task("dialogue")
-class DialogueTask(BaseTask):
-    """AVSD-style dialogue generation (reference lavis/tasks/dialogue.py):
-    generate a response per turn — the mechanics are the captioning loop
-    with the dialogue history as the instruction."""
-
-    @classmethod
-    def setup_task(cls, cfg=None, **kw):
-        return cls()
-
-
-@registry.register_task("vqa_reading_comprehension")
-class VQAReadingComprehensionTask(BaseTask):
-    """ReadVQA (reference lavis/tasks/vqa_reading_comprehension.py):
-    VQA with OCR-token context in the prompt — shares VQATask mechanics."""
-
-    @classmethod
-    def setup_task(cls, cfg=None, **kw):
-        from vlm_compression_tpu.tasks.vqa import VQATask
-
-        return VQATask.setup_task(cfg=cfg, **kw)
+# DialogueTask / VQARCTask / GQARCTask live in tasks/dialogue_rc.py.
