@@ -124,14 +124,13 @@ SNLIVEBuilder = _register("snli_ve", I.VisualEntailmentDataset,
                           I.VisualEntailmentDataset)
 
 # video-dataset registry names (video_qa_builder.py, dialogue_builder.py,
-# retrieval/caption video builders).  Item-level decoding uses the image
-# pipeline: annotations point at extracted frames (the reference snapshot
-# is missing its datasets/ module entirely — SURVEY.md §2 row 5 — and the
-# video models here accept (b, t, h, w, c) stacks built by the collater).
+# retrieval/caption video builders).  Item classes load pre-extracted
+# frame stacks → (t, h, w, c) per sample; the collater batches to the
+# 5-dim (b, t, h, w, c) video input of the instruct models.
 for _n in ("msrvtt_caption", "msvd_caption", "vatex_caption",
            "msrvtt_retrieval", "didemo_retrieval"):
-    _register(_n, I.CaptionDataset, I.CaptionEvalDataset)
+    _register(_n, I.VideoCaptionDataset, I.VideoCaptionEvalDataset)
 for _n in ("msrvtt_qa", "msvd_qa"):
-    _register(_n, I.VQADataset, I.VQAEvalDataset)
-AVSDBuilder = _register("avsd_dialogue", I.CaptionDataset,
-                        I.CaptionEvalDataset)
+    _register(_n, I.VideoQADataset, I.VideoQAEvalDataset)
+AVSDBuilder = _register("avsd_dialogue", I.VideoDialogueDataset,
+                        I.VideoDialogueDataset)

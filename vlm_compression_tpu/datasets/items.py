@@ -217,3 +217,98 @@ class VisualEntailmentDataset(BaseItemDataset):
             "label": int(lab),
             "instance_id": ann["instance_id"],
         }
+
+
+# ---------------------------------------------------------------------------
+# video item datasets (frame stacks)
+# ---------------------------------------------------------------------------
+
+
+class _VideoFramesMixin:
+    """Frame loading for video datasets (VERDICT round-1 item 6).
+
+    The reference's video datasets decode with decord (its snapshot is
+    missing the item classes entirely — SURVEY.md §2 row 5); offline we
+    load pre-extracted frames.  ``ann["video"]`` may point at:
+
+    * a directory of frame images (sorted filenames),
+    * a ``.npy`` stack of shape (t, h, w, c) in [0, 255] or [0, 1],
+    * a list of frame image paths.
+
+    Frames are uniformly subsampled/padded to ``num_frames`` and each is
+    run through the image processor, yielding a (t, h, w, c) float32
+    stack — the 5-dim model input once the collater adds the batch dim.
+    """
+
+    num_frames = 4
+
+    def _frame_paths(self, spec):
+        if isinstance(spec, list):
+            return [os.path.join(self.vis_root, p) for p in spec]
+        path = os.path.join(self.vis_root, spec)
+        if os.path.isdir(path):
+            names = sorted(os.listdir(path))
+            return [os.path.join(path, n) for n in names
+                    if n.lower().endswith((".jpg", ".jpeg", ".png"))]
+        return [path]
+
+    def _video(self, ann) -> np.ndarray:
+        spec = ann.get("video", ann.get("image"))
+        if isinstance(spec, str) and spec.endswith(".npy"):
+            stack = np.load(os.path.join(self.vis_root, spec))
+            if stack.dtype != np.float32:
+                stack = stack.astype(np.float32) / 255.0
+            frames = [self.vis_processor(Image.fromarray(
+                (np.clip(f, 0, 1) * 255).astype(np.uint8)))
+                for f in stack]
+        else:
+            paths = self._frame_paths(spec)
+            frames = []
+            for p in paths:
+                with Image.open(p) as img:
+                    frames.append(self.vis_processor(img))
+        # uniform temporal subsample / repeat-pad to num_frames
+        t = len(frames)
+        idx = np.linspace(0, t - 1, self.num_frames).round().astype(int)
+        return np.stack([frames[i] for i in idx]).astype(np.float32)
+
+
+class VideoCaptionDataset(_VideoFramesMixin, CaptionDataset):
+    def __getitem__(self, i):
+        out = super().__getitem__(i)
+        return out
+
+    def _image(self, ann):
+        return self._video(ann)
+
+
+class VideoCaptionEvalDataset(_VideoFramesMixin, CaptionEvalDataset):
+    def _image(self, ann):
+        return self._video(ann)
+
+
+class VideoQADataset(_VideoFramesMixin, VQADataset):
+    def _image(self, ann):
+        return self._video(ann)
+
+
+class VideoQAEvalDataset(VideoQADataset):
+    pass
+
+
+class VideoDialogueDataset(_VideoFramesMixin, BaseItemDataset):
+    """AVSD-style: dialogue history as instruction, response as target."""
+
+    def __getitem__(self, i):
+        ann = self.annotation[i]
+        history = ann.get("dialog", ann.get("history", []))
+        if isinstance(history, list):
+            history = " ".join(
+                (f"{h.get('question', '')} {h.get('answer', '')}"
+                 if isinstance(h, dict) else str(h)) for h in history)
+        return {
+            "image": self._video(ann),
+            "text_input": self.text_processor(history),
+            "text_output": ann.get("answer", ann.get("caption", "")),
+            "instance_id": ann["instance_id"],
+        }

@@ -73,7 +73,27 @@ class Blip2T5Instruct(nn.Module):
     def encode_image(self, image, vit_mode="masked",
                      qformer_input_ids=None, qformer_attention_mask=None,
                      qformer_mode="masked"):
-        """Image (+instruction) → T5-space prefix embeddings (b, 32, d_model)."""
+        """Image (+instruction) → T5-space prefix embeddings (b, 32, d_model).
+
+        Video: a 5-dim ``(b, t, h, w, c)`` stack encodes every frame and
+        concatenates the per-frame query outputs along the sequence dim
+        → ``(b, t·32, d_model)``.  The reference loops frames in Python
+        (blip2_t5_instruct.py:347-377); here the frame axis folds into
+        the batch so ViT+Q-Former run once, batched — same math, one XLA
+        program, MXU-friendly."""
+        if image.ndim == 5:
+            b, t = image.shape[:2]
+            image = image.reshape((b * t,) + image.shape[2:])
+            if qformer_input_ids is not None:
+                qformer_input_ids = jnp.repeat(qformer_input_ids, t, axis=0)
+                if qformer_attention_mask is not None:
+                    qformer_attention_mask = jnp.repeat(
+                        qformer_attention_mask, t, axis=0)
+            feats = self.visual_encoder(image, mode=vit_mode)
+            proj = self.encode_image_from_features(
+                feats, qformer_input_ids, qformer_attention_mask,
+                qformer_mode)
+            return proj.reshape(b, t * proj.shape[1], proj.shape[2])
         feats = self.visual_encoder(image, mode=vit_mode)
         return self.encode_image_from_features(
             feats, qformer_input_ids, qformer_attention_mask, qformer_mode)

@@ -75,6 +75,23 @@ class Blip2VicunaInstruct(nn.Module):
     def encode_image(self, image, vit_mode="masked",
                      qformer_input_ids=None, qformer_attention_mask=None,
                      qformer_mode="masked"):
+        """5-dim video stacks fold the frame axis into the batch and
+        concat per-frame query outputs (see
+        Blip2T5Instruct.encode_image; reference vicuna generate has the
+        same per-frame loop)."""
+        if image.ndim == 5:
+            b, t = image.shape[:2]
+            image = image.reshape((b * t,) + image.shape[2:])
+            if qformer_input_ids is not None:
+                qformer_input_ids = jnp.repeat(qformer_input_ids, t, axis=0)
+                if qformer_attention_mask is not None:
+                    qformer_attention_mask = jnp.repeat(
+                        qformer_attention_mask, t, axis=0)
+            feats = self.visual_encoder(image, mode=vit_mode)
+            proj = self.encode_image_from_features(
+                feats, qformer_input_ids, qformer_attention_mask,
+                qformer_mode)
+            return proj.reshape(b, t * proj.shape[1], proj.shape[2])
         feats = self.visual_encoder(image, mode=vit_mode)
         return self.encode_image_from_features(
             feats, qformer_input_ids, qformer_attention_mask, qformer_mode)
