@@ -188,11 +188,17 @@ def beam_search(step_fn, cache, batch_size: int, cfg: GenerationConfig):
         logits = logits[:, -1, :].astype(jnp.float32).reshape(
             batch_size, K, -1)
         V = logits.shape[-1]
-        logits = apply_repetition_penalty(
-            logits, seqs, jnp.arange(L)[None, None, :] < i,
-            cfg.repetition_penalty)
-        logits = mask_min_length(logits, i, cfg.min_length, cfg.eos_token_id)
+        # HF beam search applies the logits processors AFTER log_softmax
+        # (generation/utils.py beam_search: processors act on the
+        # log-softmaxed scores — so e.g. repetition penalty scales
+        # negative log-probs), unlike greedy where they act on raw
+        # logits.  Matching that asymmetry is required for
+        # token-for-token parity (tests/test_generation_hf_parity.py).
         logp = jax.nn.log_softmax(logits, axis=-1)
+        logp = apply_repetition_penalty(
+            logp, seqs, jnp.arange(L)[None, None, :] < i,
+            cfg.repetition_penalty)
+        logp = mask_min_length(logp, i, cfg.min_length, cfg.eos_token_id)
 
         cand = live_scores[..., None] + logp            # (b, K, V)
         flat = cand.reshape(batch_size, K * V)
