@@ -113,3 +113,20 @@ def test_sharded_prune_matches_unsharded(pruner_name):
             assert frac <= 0.06, (k, frac)
             np.testing.assert_allclose(sh_masks[k].mean(),
                                        ref_masks[k].mean(), atol=0.02)
+
+    if pruner_name == "blipt5_sparsegpt_pruner":
+        # Mask tie-flips are only acceptable if they are *objective*
+        # ties: bound the DOWNSTREAM loss divergence between the sharded
+        # and unsharded pruned models on the calibration data (VERDICT
+        # round-1 item 8 — replaces trusting the 6% mask tolerance).
+        def model_loss(m, bs):
+            tot = 0.0
+            for b in bs:
+                out = m.module.apply(m.variables, **b)
+                tot += float(out["loss"])
+            return tot / len(bs)
+
+        l_ref = model_loss(ref_model, batches)
+        l_sh = model_loss(sh_model, batches2)
+        rel = abs(l_sh - l_ref) / max(abs(l_ref), 1e-9)
+        assert rel < 1e-2, (l_ref, l_sh, rel)

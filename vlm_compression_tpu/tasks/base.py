@@ -68,11 +68,16 @@ class BaseTask:
     # result IO: per-host JSON shard + host-0 merge (base_task.py:355-393)
     # ------------------------------------------------------------------
     @staticmethod
-    def save_result(result, result_dir, filename, remove_duplicate=""):
+    def save_result(result, result_dir, filename, remove_duplicate="",
+                    rank=None, world=None):
+        """rank/world default to the real process grid; the multi-host
+        dryrun passes them explicitly to exercise the shard+merge path
+        with a simulated process_count > 1."""
         import jax
 
         os.makedirs(result_dir, exist_ok=True)
-        rank = jax.process_index()
+        rank = jax.process_index() if rank is None else rank
+        world = jax.process_count() if world is None else world
         shard = os.path.join(result_dir, f"{filename}_rank{rank}.json")
         with open(shard, "w") as f:
             json.dump(result, f)
@@ -80,7 +85,7 @@ class BaseTask:
         final = os.path.join(result_dir, f"{filename}.json")
         if rank == 0:
             merged, seen = [], set()
-            for r in range(jax.process_count()):
+            for r in range(world):
                 p = os.path.join(result_dir, f"{filename}_rank{r}.json")
                 if not os.path.exists(p):
                     continue
