@@ -69,3 +69,22 @@ def test_vicuna_commands_parse(captured):
     assert first.t5_model_prefix == "llm_model"
     # vicuna suite skips retrieval (scripts/Vicuna/evaluate.py)
     assert len(captured) == 1 + len(launch_lib.EVAL_TASKS) - 1
+
+
+def test_download_script_matrix_complete():
+    """All 13 reference fetch targets have a script, and each parses
+    (VERDICT round-1 item 9)."""
+    import glob
+    import os
+    import subprocess
+
+    here = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "download")
+    need = ["coco", "flickr", "gqa", "vqa", "okvqa", "aokvqa", "nocaps",
+            "vg", "sbu", "cc", "msrvtt", "msvd", "didemo", "all"]
+    have = {os.path.basename(p)[len("download_"):-3]
+            for p in glob.glob(os.path.join(here, "download_*.sh"))}
+    missing = [n for n in need if n not in have]
+    assert not missing, missing
+    for p in glob.glob(os.path.join(here, "download_*.sh")):
+        subprocess.run(["bash", "-n", p], check=True)
