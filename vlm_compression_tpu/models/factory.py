@@ -12,6 +12,7 @@ its letter is in tune_opt (V=vision, L=language, Q=qformer).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Tuple
 
 import jax
@@ -39,6 +40,31 @@ def _get(cfg, key, default=None):
     return default if v is None else v
 
 
+def apply_dtype_policy(cfg, amp: bool):
+    """Mixed-precision policy knob (reference run_cfg.amp gating autocast,
+    runner_base.py:146-154 / base_task.py:306): amp=True keeps the
+    bf16-compute defaults; amp=False rewrites every tower sub-config to
+    float32 compute + storage — the reference's non-autocast fp32 path."""
+    if amp:
+        return cfg
+    target = "float32"
+
+    def fix(node):
+        if dataclasses.is_dataclass(node):
+            updates = {}
+            for f in dataclasses.fields(node):
+                v = getattr(node, f.name)
+                if f.name in ("dtype", "param_dtype") and \
+                        isinstance(v, str) and v == "bfloat16":
+                    updates[f.name] = target
+                elif dataclasses.is_dataclass(v):
+                    updates[f.name] = fix(v)
+            return dataclasses.replace(node, **updates) if updates else node
+        return node
+
+    return fix(cfg)
+
+
 def build_model_config(model_cfg) -> Tuple[str, object]:
     """(arch, composed config) from a model config node."""
     arch = _get(model_cfg, "arch", "blip2_t5_instruct")
@@ -50,7 +76,14 @@ def build_model_config(model_cfg) -> Tuple[str, object]:
     r_l = int(_get(model_cfg, "lora_r_l", 0)) if "L" in tune_opt else 0
     r_q = int(_get(model_cfg, "lora_r_q", 0)) if "Q" in tune_opt else 0
     alpha = float(_get(model_cfg, "lora_alpha", 16.0))
+    amp = bool(_get(model_cfg, "amp", True))
 
+    arch, cfg = _build_arch_config(model_cfg, arch, size, tiny,
+                                   r_v, r_l, r_q, alpha)
+    return arch, apply_dtype_policy(cfg, amp)
+
+
+def _build_arch_config(model_cfg, arch, size, tiny, r_v, r_l, r_q, alpha):
     if arch == "blip2_t5_instruct":
         if tiny:
             cfg = Blip2T5InstructConfig(

@@ -30,8 +30,23 @@ class BaseTask:
     # ------------------------------------------------------------------
     def build_model(self, cfg):
         model_cfg = cfg.model_cfg
-        cls = registry.get_model_class(model_cfg.arch)
-        return cls.from_config(model_cfg)
+        # the reference gates mixed precision per RUN config
+        # (run_cfg.amp → autocast, runner_base.py:146-154); thread it
+        # into the model dtype policy (factory.apply_dtype_policy)
+        run_cfg = getattr(cfg, "run_cfg", None)
+        if run_cfg is not None and hasattr(run_cfg, "get") \
+                and run_cfg.get("amp") is not None \
+                and hasattr(model_cfg, "get") \
+                and model_cfg.get("amp") is None:
+            try:
+                model_cfg["amp"] = bool(run_cfg.get("amp"))
+            except TypeError:
+                pass
+        from vlm_compression_tpu.compression.pruners.base import FlaxModel
+        from vlm_compression_tpu.models.factory import build_model
+
+        module, variables = build_model(model_cfg)
+        return FlaxModel(module, variables)
 
     def build_datasets(self, cfg, max_train_samples: Optional[int] = None):
         """name → {split: dataset}; the train-sample cap is split evenly
