@@ -1,0 +1,204 @@
+"""On-chip autotuner for the fused masked matmul (VERDICT round-1 item 4).
+
+The bool-mask Pallas kernel's win over XLA's fused ``where``+dot depends
+on shape and tiling, and tunnel-backend timings are treacherous
+(``block_until_ready`` is a no-op — the only reliable barrier is
+materializing a device scalar).  So the default dispatch is per-shape
+decisions produced by this module:
+
+* ``tune_masked_matmul(m, k, n, dtype)`` measures XLA vs a small tile
+  sweep of the Pallas kernel with scalar-fenced timing and records the
+  winner;
+* decisions persist to ``VCT_AUTOTUNE_CACHE`` (default
+  ``~/.cache/vct/autotune.json``) so a host tunes once;
+* ``DEFAULT_DECISIONS`` ships decisions measured on a v5e for the
+  InstructBLIP-XL serving/prefill shape classes, so the flagship path is
+  tuned out of the box;
+* unknown shapes fall back to the XLA path (never wrong, sometimes
+  slower) until ``autotune_masked_matmul`` is called for them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# decisions measured on TPU v5e (single chip, warm, scalar-fenced; see
+# BENCH_NOTES.md "masked-matmul autotune" table).  Keys are
+# "m,k,n,dtype"; values {"backend": "pallas"|"xla", "tiles": [bm,bn,bk],
+# "pallas_us": float, "xla_us": float}.
+DEFAULT_DECISIONS: Dict[str, dict] = {}
+
+_CACHE: Optional[Dict[str, dict]] = None
+
+
+def _cache_path() -> str:
+    return os.environ.get(
+        "VCT_AUTOTUNE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "vct",
+                     "autotune.json"))
+
+
+def _load_cache() -> Dict[str, dict]:
+    global _CACHE
+    if _CACHE is None:
+        _CACHE = dict(DEFAULT_DECISIONS)
+        try:
+            with open(_cache_path()) as f:
+                _CACHE.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+    return _CACHE
+
+
+def _save_cache() -> None:
+    path = _cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(_CACHE, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+
+def _key(m: int, k: int, n: int, dtype: str) -> str:
+    return f"{m},{k},{n},{dtype}"
+
+
+def lookup_masked_matmul(m: int, k: int, n: int,
+                         dtype: str) -> Optional[dict]:
+    return _load_cache().get(_key(m, k, n, dtype))
+
+
+# ---------------------------------------------------------------------------
+# scalar-fenced timing (tunnel-safe)
+# ---------------------------------------------------------------------------
+
+
+def _sync(x) -> float:
+    """The only reliable device barrier over the tunnel backend: fetch a
+    scalar reduction."""
+    return float(jnp.sum(x.ravel()[:8]))
+
+
+def time_call(fn, *args, iters: int = 10) -> float:
+    """Seconds per call, warm (one untimed call first), scalar-fenced."""
+    out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+# ---------------------------------------------------------------------------
+# tuning
+# ---------------------------------------------------------------------------
+
+
+def _tile_candidates(m: int, k: int, n: int):
+    seen = []
+    for bm in (1024, 512, 256, 128):
+        if m % bm:
+            continue
+        for bn in (512, 256, 128):
+            if n % bn:
+                continue
+            for bk in (512, 1024, 256):
+                if k % bk:
+                    continue
+                seen.append((bm, bn, bk))
+    # small-m shapes (decode steps): allow skinny bm
+    if not any(m % bm == 0 for bm in (1024, 512, 256, 128)):
+        for bm in (64, 32, 16, 8):
+            if m % bm == 0:
+                for bn in (512, 256, 128):
+                    if n % bn == 0:
+                        for bk in (512, 256):
+                            if k % bk == 0:
+                                seen.append((bm, bn, bk))
+                break
+    return seen[:9]
+
+
+def tune_masked_matmul(m: int, k: int, n: int, dtype: str = "bfloat16",
+                       iters: int = 10, verbose: bool = False) -> dict:
+    """Measure XLA vs Pallas tile candidates for one shape; record and
+    return the decision."""
+    from vlm_compression_tpu.ops import masked_linear as ml
+
+    cache = _load_cache()
+    key = _key(m, k, n, dtype)
+    if key in cache:
+        return cache[key]
+
+    jdt = jnp.dtype(dtype)
+    kx, kw, km = jax.random.split(jax.random.key(0), 3)
+    x = jax.random.normal(kx, (m, k), jnp.float32).astype(jdt)
+    w = jax.random.normal(kw, (k, n), jnp.float32).astype(jdt)
+    mask = jax.random.bernoulli(km, 0.5, (k, n))
+
+    xla = jax.jit(ml.masked_matmul_ref)
+    t_xla = time_call(xla, x, w, mask, iters=iters)
+
+    best_tiles, t_pallas = None, float("inf")
+    if jax.default_backend() == "tpu":
+        for tiles in _tile_candidates(m, k, n):
+            try:
+                f = jax.jit(lambda a, b, c, t=tiles:
+                            ml._masked_matmul_pallas(a, b, c, t))
+                t = time_call(f, x, w, mask, iters=iters)
+            except Exception:
+                continue
+            if verbose:
+                print(f"  tiles {tiles}: {t * 1e6:.0f} us")
+            if t < t_pallas:
+                best_tiles, t_pallas = tiles, t
+
+    decision = {
+        "backend": ("pallas" if t_pallas < t_xla else "xla"),
+        "tiles": list(best_tiles) if best_tiles else None,
+        "pallas_us": round(t_pallas * 1e6, 1) if best_tiles else None,
+        "xla_us": round(t_xla * 1e6, 1),
+    }
+    cache[key] = decision
+    _save_cache()
+    if verbose:
+        print(f"{key}: {decision}")
+    return decision
+
+
+# InstructBLIP FlanT5-XL serving shape classes: (tokens, in, out) of the
+# hot masked linears.  Prefill = batch 16 × ~77 enc tokens (ViT 257+32
+# query tokens for the vision tower); decode = batch 16 × 1.
+XL_SHAPES = [
+    # T5-XL d_model 2048, d_ff 5120: q/k/v/o and wi/wo, prefill-ish m
+    (2048, 2048, 2048),
+    (2048, 2048, 5120),
+    (2048, 5120, 2048),
+    # ViT-g 1408/6144, 257 tokens × batch 16 ≈ 4112 → padded class 4096
+    (4096, 1408, 1408),
+    (4096, 1408, 6144),
+    (4096, 6144, 1408),
+    # decode steps (batch 16, m=16)
+    (16, 2048, 2048),
+    (16, 2048, 5120),
+    (16, 5120, 2048),
+]
+
+
+def autotune_masked_matmul(shapes=None, dtype: str = "bfloat16",
+                           iters: int = 10, verbose: bool = True) -> dict:
+    """Tune a list of (m, k, n) shapes (default: the XL serving classes)
+    and leave the dispatch default on "auto" so they take effect."""
+    out = {}
+    for m, k, n in (shapes or XL_SHAPES):
+        out[_key(m, k, n, dtype)] = tune_masked_matmul(
+            m, k, n, dtype, iters=iters, verbose=verbose)
+    return out

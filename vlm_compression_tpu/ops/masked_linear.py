@@ -84,19 +84,22 @@ def _pick(dim, candidates):
     return None
 
 
-def _masked_matmul_pallas(x2, w, mask):
+def _masked_matmul_pallas(x2, w, mask, tiles=None):
     m, k = x2.shape
     k2, n = w.shape
-    # tile order from an on-chip sweep at (4096, 2048, 2048) bf16:
-    # bm1024/bn512/bk512 ≈ 4.8 ms vs 7.6 ms at the old 256/512/512
-    # (and the XLA where+dot measured 23.8 ms in the same harness —
-    # though an earlier differently-fenced measurement had XLA ahead;
-    # tunnel timings disagree, hence the opt-in flag below)
-    bm = _pick(m, (1024, 512, 256, 128, 64, 32, 16, 8))
-    bn = _pick(n, (512, 256, 128))
-    bk = _pick(k, (512, 1024, 256, 128))
-    if bm is None or bn is None or bk is None:
-        return None
+    if tiles is not None:
+        bm, bn, bk = tiles
+        if m % bm or n % bn or k % bk:
+            return None
+    else:
+        # tile order from an on-chip sweep at (4096, 2048, 2048) bf16:
+        # bm1024/bn512/bk512 ≈ 4.8 ms vs 7.6 ms at the old 256/512/512;
+        # per-shape tuning lives in ops/autotune.py
+        bm = _pick(m, (1024, 512, 256, 128, 64, 32, 16, 8))
+        bn = _pick(n, (512, 256, 128))
+        bk = _pick(k, (512, 1024, 256, 128))
+        if bm is None or bn is None or bk is None:
+            return None
     grid = (m // bm, n // bn, k // bk)
     return pl.pallas_call(
         _mm_kernel,
@@ -121,24 +124,36 @@ def masked_matmul(x, w, mask):
     return _masked_matmul_fwd_impl(x, w, mask)
 
 
-# Benchmarked on v5e (4096x2048x2048 bf16): XLA's fused where+dot currently
-# beats this kernel's first-cut tiling (0.67 vs 0.91 ms/iter), so the Pallas
-# path is opt-in until the block sizes are autotuned.  Flip with
-# `use_pallas_masked_matmul(True)`.
-_USE_PALLAS = False
+# Dispatch policy:
+#   "auto" (default) — per-shape decisions from ops/autotune.py (tuned
+#           on-chip and cached; unknown shapes fall back to XLA's fused
+#           where+dot, which is never wrong, just sometimes slower)
+#   True  — always try the Pallas kernel with heuristic tiles
+#   False — always the XLA reference path
+_USE_PALLAS = "auto"
 
 
-def use_pallas_masked_matmul(enable: bool) -> None:
+def use_pallas_masked_matmul(enable) -> None:
+    """enable ∈ {True, False, "auto"}."""
     global _USE_PALLAS
     _USE_PALLAS = enable
 
 
 def _masked_matmul_fwd_impl(x, w, mask):
-    if not _USE_PALLAS or jax.default_backend() != "tpu":
+    if _USE_PALLAS is False or jax.default_backend() != "tpu":
         return masked_matmul_ref(x, w, mask)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    out = _masked_matmul_pallas(x2, w, mask)
+    if _USE_PALLAS == "auto":
+        from vlm_compression_tpu.ops.autotune import lookup_masked_matmul
+
+        dec = lookup_masked_matmul(x2.shape[0], w.shape[0], w.shape[1],
+                                   str(x.dtype))
+        if dec is None or dec["backend"] != "pallas":
+            return masked_matmul_ref(x, w, mask)
+        out = _masked_matmul_pallas(x2, w, mask, tuple(dec["tiles"]))
+    else:
+        out = _masked_matmul_pallas(x2, w, mask)
     if out is None:
         return masked_matmul_ref(x, w, mask)
     return out.reshape(*lead, w.shape[1])
@@ -185,7 +200,9 @@ def _mm_packed_kernel(x_ref, w_ref, m_ref, o_ref, acc_ref):
     # interleaved layout (ops/bitmask.py): tile row r ↔ packed row r % 8,
     # bit r // 8.  pltpu.repeat TILES its input (output row r = input row
     # r % nrows), which is exactly the word lookup; the shift is iota//8.
-    words = pltpu.repeat(m_ref[:], 16, axis=0)            # (128, bn) uint32
+    # Works for both GROUP=128 (bits 0..15) and GROUP=256 (bits 0..31):
+    # the repeat factor is the tile's row count / 8.
+    words = pltpu.repeat(m_ref[:], w.shape[0] // 8, axis=0)  # (bk, bn) u32
     shift = (jax.lax.broadcasted_iota(jnp.uint32, w.shape, 0)
              // jnp.uint32(8))
     bits = (words >> shift) & jnp.uint32(1)
@@ -197,12 +214,12 @@ def _mm_packed_kernel(x_ref, w_ref, m_ref, o_ref, acc_ref):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _masked_matmul_packed_pallas(x2, w, packed):
+def _masked_matmul_packed_pallas(x2, w, packed, group: int = 128):
     m, k = x2.shape
     k2, n = w.shape
     bm = _pick(m, (256, 128, 64, 32, 16, 8))
     bn = _pick(n, (512, 256, 128))
-    bk = 128  # pinned: the packed layout interleaves within 128-row groups
+    bk = group  # pinned: the packed layout interleaves within GROUP rows
     if bm is None or bn is None or k % bk != 0:
         return None
     grid = (m // bm, n // bn, k // bk)
@@ -223,26 +240,41 @@ def _masked_matmul_packed_pallas(x2, w, packed):
     )(x2, w, packed)
 
 
-def masked_matmul_packed_ref(x, w, packed):
+def infer_pack_group(k_rows: int, packed_rows: int) -> int:
+    """Recover the pack layout (128 = 2-bit, 256 = 1-bit) from shapes."""
+    from vlm_compression_tpu.ops import bitmask
+
+    for g in (bitmask.GROUP, bitmask.GROUP_1BIT):
+        if bitmask.packed_rows(k_rows, g) == packed_rows:
+            return g
+    raise ValueError(f"packed mask rows {packed_rows} do not match any "
+                     f"layout for {k_rows} weight rows")
+
+
+def masked_matmul_packed_ref(x, w, packed, group: int = None):
     from vlm_compression_tpu.ops.bitmask import unpack_mask
 
-    return masked_matmul_ref(x, w, unpack_mask(packed, w.shape[0]))
+    group = group or infer_pack_group(w.shape[0], packed.shape[0])
+    return masked_matmul_ref(x, w, unpack_mask(packed, w.shape[0], group))
 
 
 @jax.custom_vjp
 def masked_matmul_packed(x, w, packed):
-    """y = x @ (w ⊙ unpack(packed)); mask unpacked per-tile in VMEM."""
+    """y = x @ (w ⊙ unpack(packed)); mask unpacked per-tile in VMEM.
+    The pack layout (GROUP=128 2-bit / GROUP=256 1-bit) is inferred from
+    the packed array's row count."""
     return _masked_matmul_packed_impl(x, w, packed)
 
 
 def _masked_matmul_packed_impl(x, w, packed):
+    group = infer_pack_group(w.shape[0], packed.shape[0])
     if jax.default_backend() != "tpu":
-        return masked_matmul_packed_ref(x, w, packed)
+        return masked_matmul_packed_ref(x, w, packed, group)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    out = _masked_matmul_packed_pallas(x2, w, packed)
+    out = _masked_matmul_packed_pallas(x2, w, packed, group)
     if out is None:
-        return masked_matmul_packed_ref(x, w, packed)
+        return masked_matmul_packed_ref(x, w, packed, group)
     return out.reshape(*lead, w.shape[1])
 
 
@@ -254,7 +286,8 @@ def _masked_matmul_packed_bwd(res, g):
     from vlm_compression_tpu.ops.bitmask import unpack_mask
 
     x, w, packed = res
-    mask = unpack_mask(packed, w.shape[0])
+    group = infer_pack_group(w.shape[0], packed.shape[0])
+    mask = unpack_mask(packed, w.shape[0], group)
     dx, dw, _ = _masked_matmul_bwd((x, w, mask), g)
     return dx, dw, None
 

@@ -46,9 +46,11 @@ def _int8_matmul_ref(x, q, mask):
     qf = q.astype(x.dtype)
     if mask is not None:
         from vlm_compression_tpu.ops.bitmask import is_packed, unpack_mask
+        from vlm_compression_tpu.ops.masked_linear import infer_pack_group
 
         if is_packed(mask):
-            mask = unpack_mask(mask, q.shape[0])
+            mask = unpack_mask(mask, q.shape[0],
+                               infer_pack_group(q.shape[0], mask.shape[0]))
         qf = jnp.where(mask, qf, jnp.zeros((), qf.dtype))
     return jax.lax.dot_general(
         x, qf, (((x.ndim - 1,), (0,)), ((), ())),
@@ -211,9 +213,11 @@ def int8_matmul_dynamic(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     qw = q
     if mask is not None:
         from vlm_compression_tpu.ops.bitmask import is_packed, unpack_mask
+        from vlm_compression_tpu.ops.masked_linear import infer_pack_group
 
         if is_packed(mask):
-            mask = unpack_mask(mask, q.shape[0])
+            mask = unpack_mask(mask, q.shape[0],
+                               infer_pack_group(q.shape[0], mask.shape[0]))
         qw = jnp.where(mask, q, jnp.zeros((), q.dtype))
     acc = jax.lax.dot_general(
         xq, qw, (((1,), (0,)), ((), ())),
