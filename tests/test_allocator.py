@@ -63,6 +63,7 @@ def _tiny_t5():
     return model, variables, batch
 
 
+@pytest.mark.slow
 def test_select_keys_and_groups():
     model, variables, _ = _tiny_t5()
     keys = select_prunable_keys(variables["params"])
@@ -123,6 +124,7 @@ def test_mezo_diff_deterministic():
     assert run() == run()
 
 
+@pytest.mark.slow
 def test_olmezo_layer_scorer_runs():
     model, variables, batch = _tiny_t5()
     alloc = LayerSparsity(

@@ -15,6 +15,10 @@ from vlm_compression_tpu.models.blip2_qformer import (
 )
 from vlm_compression_tpu.tasks.retrieval import RetrievalTask
 
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def tiny():

@@ -7,6 +7,10 @@ import numpy as np
 import pytest
 import yaml
 
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):

@@ -17,6 +17,10 @@ from vlm_compression_tpu.models.convert import (
 from vlm_compression_tpu.models.llama import LlamaConfig, LlamaForCausalLM
 from vlm_compression_tpu.models.t5 import T5Config, T5ForConditionalGeneration
 
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 
 def _tree_shapes(tree, prefix=()):
     out = {}

@@ -19,6 +19,10 @@ from vlm_compression_tpu.tasks.dialogue_rc import (
     VQARCTask,
 )
 
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def tiny_blip2():

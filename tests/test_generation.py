@@ -22,6 +22,10 @@ from vlm_compression_tpu.models.t5 import (
     shift_right,
 )
 
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 
 def _tiny_t5():
     cfg = T5Config.tiny()

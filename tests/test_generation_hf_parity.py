@@ -15,6 +15,10 @@ from vlm_compression_tpu.models.convert import convert_t5
 from vlm_compression_tpu.models.generation import GenerationConfig
 from vlm_compression_tpu.models.t5 import T5Config, T5ForConditionalGeneration
 
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 transformers = pytest.importorskip("transformers")
 
 

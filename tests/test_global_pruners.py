@@ -99,6 +99,7 @@ def test_iterative_schedule_monotone():
     assert _block_density(fm.variables) == pytest.approx(0.5, abs=0.05)
 
 
+@pytest.mark.slow
 def test_mezo_pruner_layer_granular():
     model, variables, batch = _tiny_blip()
     # scalar-per-layer scores only discriminate under global thresholding

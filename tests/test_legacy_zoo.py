@@ -9,6 +9,10 @@ import pytest
 from vlm_compression_tpu.models import _ensure_zoo_imported, load_model
 from vlm_compression_tpu.common.registry import registry
 
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 LEGACY_NAMES = [
     "albef_classification", "albef_feature_extractor", "albef_nlvr",
     "albef_pretrain", "albef_retrieval", "albef_vqa",

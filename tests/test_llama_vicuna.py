@@ -19,6 +19,10 @@ from vlm_compression_tpu.models.llama import (
     make_causal_step,
 )
 
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 
 def _tiny_llama():
     cfg = LlamaConfig.tiny()

@@ -27,6 +27,10 @@ from vlm_compression_tpu.models.t5 import T5Config
 from vlm_compression_tpu.tasks.pretrain import ImageTextPretrainTask
 from vlm_compression_tpu.tasks.retrain import RessaTrainState
 
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def tiny_lora():

@@ -111,6 +111,7 @@ def test_t5_forward_and_loss(rng):
     assert abs(float(loss) - np.log(cfg.vocab_size)) < 2.0
 
 
+@pytest.mark.slow
 def test_t5_padding_invariance(rng):
     """Padded positions must not affect non-pad outputs (mask correctness)."""
     cfg = T5Config.tiny(param_dtype="float32", dtype="float32")
@@ -134,6 +135,7 @@ def test_shift_right():
     np.testing.assert_array_equal(np.asarray(out), [[0, 5, 6]])
 
 
+@pytest.mark.slow
 def test_blip2_t5_instruct_end_to_end(rng):
     cfg = Blip2T5InstructConfig.tiny()
     # run in fp32 for the numeric check
@@ -161,6 +163,7 @@ def test_blip2_t5_instruct_end_to_end(rng):
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_blip2_grads_flow_to_masked_weights(rng):
     cfg = Blip2T5InstructConfig(
         vit=EvaViTConfig.tiny(param_dtype="float32", dtype="float32"),

@@ -110,6 +110,7 @@ def test_ria_metric_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ria_pruner_end_to_end():
     """blipt5_ria_pruner runs the full sweep and hits target density."""
     import jax

@@ -160,6 +160,7 @@ def test_batched_matches_single():
                                       np.asarray(single.keep_mask))
 
 
+@pytest.mark.slow
 def test_dc_factorization_paths():
     """d&c Cholesky / triangular inverse / TRSM match one-shot lowerings at
     a size that actually recurses (n > _DC_BASE, n % 128 == 0)."""

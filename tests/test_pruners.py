@@ -60,6 +60,7 @@ def _mask_leaves(masks):
     return out
 
 
+@pytest.mark.slow
 def test_t5_wanda_uniform_density():
     rng = jax.random.PRNGKey(0)
     cfg, module, variables, batches = _t5_setup(rng)

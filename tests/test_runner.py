@@ -26,6 +26,10 @@ from vlm_compression_tpu.runners.runner_base import RunnerBase
 from vlm_compression_tpu.tasks.preparers import make_t5_batch_preparer
 from vlm_compression_tpu.tasks.retrain import ImageTextRetrainTask
 
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):

@@ -23,6 +23,10 @@ from vlm_compression_tpu.models.blip2_t5_instruct import (
 )
 from vlm_compression_tpu.parallel.mesh import MeshConfig, make_mesh
 
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 
 def _tiny_setup(seed=0):
     cfg = Blip2T5InstructConfig.tiny()

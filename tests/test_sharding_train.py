@@ -3,6 +3,7 @@ data x tensor axes, sharded masks, KD teacher+student+update in one pjit
 program (what the driver's dryrun_multichip validates, as a test)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,10 @@ from vlm_compression_tpu.tasks.retrain import (
     RessaTrainState,
     make_kd_train_step,
 )
+
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 
 
 def test_kd_step_on_data_model_mesh(devices8):

@@ -25,6 +25,10 @@ from vlm_compression_tpu.tasks.retrain import (
     merge_lora_into_params,
 )
 
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 
 def test_warmup_cosine_schedule():
     s = LinearWarmupCosineLRScheduler(max_epoch=10, min_lr=1e-5,
@@ -186,8 +190,36 @@ def test_grad_accum_matches_full_batch():
     """accum_grad_iters=k over k equal micro-batches produces the same
     optimizer update as one full-batch step (VERDICT item 2; reference
     base_task.py:262-353 loss/accum + step-every-k semantics)."""
-    model, variables, batch = _tiny_model()
-    tx = make_adamw(weight_decay=0.0)
+    import optax
+
+    from vlm_compression_tpu.models.factory import apply_dtype_policy
+
+    # fp32 towers: the bf16 defaults add ~2% per-entry gradient noise
+    # between the full-batch and scanned-micro-batch groupings (different
+    # matmul shapes), which is numerics, not semantics.  In fp32 the two
+    # paths must agree tightly.
+    cfg = apply_dtype_policy(Blip2T5InstructConfig(
+        vit=EvaViTConfig.tiny(lora_rank=4),
+        qformer=QFormerConfig.tiny(lora_rank=2),
+        t5=T5Config.tiny(lora_rank=8),
+    ), amp=False)
+    model = Blip2T5Instruct(cfg)
+    b = 4
+    batch = dict(
+        image=jnp.ones((b, 28, 28, 3), jnp.float32) * 0.1,
+        input_ids=jnp.arange(b * 6, dtype=jnp.int32).reshape(b, 6) % 50,
+        attention_mask=jnp.ones((b, 6), jnp.int32),
+        labels=(jnp.arange(b * 5, dtype=jnp.int32).reshape(b, 5) % 50) + 1,
+        qformer_input_ids=jnp.ones((b, 6), jnp.int32),
+        qformer_attention_mask=jnp.ones((b, 6), jnp.int32),
+    )
+    variables = dict(model.init(
+        jax.random.key(0), **batch, vit_mode="sparse_lora",
+        llm_mode="sparse_lora", qformer_mode="sparse_lora"))
+    # SGD(1.0): the applied update IS the (averaged) gradient, so the
+    # comparison is on gradients directly (Adam's first step is
+    # ~sign(g)·lr, which turns any tiny drift into full-size flips).
+    tx = optax.sgd(1.0)
 
     state_full = RessaTrainState.create(variables, tx)
     step_full = jax.jit(make_kd_train_step(model, tx, kl_weight=0.1, T=1.0))
@@ -200,15 +232,14 @@ def test_grad_accum_matches_full_batch():
 
     assert float(m_acc["loss"]) == pytest.approx(float(m_full["loss"]),
                                                  abs=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(full2.lora),
-                    jax.tree_util.tree_leaves(acc2.lora)):
-        # Adam's first step is ~sign(g)·lr, so f32 reduction-order drift
-        # between mean-of-means and the full mean shows up at ~1e-3
-        # relative; the update semantics are identical (loss matches to
-        # 1e-5 above)
-        np.testing.assert_allclose(np.asarray(a, np.float32),
-                                   np.asarray(b, np.float32),
-                                   rtol=1e-2, atol=2e-6)
+    for before, a, b in zip(jax.tree_util.tree_leaves(state_full.lora),
+                            jax.tree_util.tree_leaves(full2.lora),
+                            jax.tree_util.tree_leaves(acc2.lora)):
+        g_full = np.asarray(before, np.float32) - np.asarray(a, np.float32)
+        g_acc = np.asarray(before, np.float32) - np.asarray(b, np.float32)
+        scale = max(np.abs(g_full).max(), 1e-8)
+        np.testing.assert_allclose(g_acc, g_full, rtol=1e-4,
+                                   atol=1e-5 * scale)
 
 
 def test_grad_accum_runner_wiring():

@@ -18,6 +18,10 @@ from vlm_compression_tpu.datasets.items import (
 )
 from vlm_compression_tpu.datasets.processors import load_processor
 
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def tiny_t5():

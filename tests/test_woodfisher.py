@@ -9,6 +9,10 @@ import numpy as np
 import pytest
 import yaml
 
+# compile-heavy: excluded from the fast suite (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 
 # ---------------------------------------------------------------------------
 # WoodFisher estimator math
