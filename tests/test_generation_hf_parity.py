@@ -94,3 +94,94 @@ def test_generate_matches_hf(pair, name, kw):
             if 1 in row:
                 tail = row[row.index(1) + 1:]
                 assert all(t == 0 for t in tail)
+
+
+# ---------------------------------------------------------------------------
+# decoder-only (LLaMA/Vicuna path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def llama_pair():
+    import torch
+
+    from vlm_compression_tpu.models.convert import convert_llama
+    from vlm_compression_tpu.models.llama import (
+        LlamaConfig,
+        LlamaForCausalLM,
+    )
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=96, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-6, bos_token_id=2,
+        eos_token_id=1, pad_token_id=0, tie_word_embeddings=False,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+
+    cfg = LlamaConfig.tiny(param_dtype="float32", dtype="float32")
+    model = LlamaForCausalLM(cfg)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = convert_llama(sd, 2)
+    ids = np.array([[2, 14, 9, 22, 7], [2, 30, 41, 8, 5]], np.int64)
+    variables = dict(model.init(jax.random.key(0),
+                                jnp.asarray(ids, jnp.int32),
+                                jnp.ones_like(jnp.asarray(ids, jnp.int32))))
+    variables = jax.tree.map(jnp.asarray,
+                             {"params": params, "masks": variables["masks"]})
+    return hf, model, variables, ids
+
+
+@pytest.mark.parametrize("num_beams", [1, 3])
+def test_decoder_only_generate_matches_hf(llama_pair, num_beams):
+    import dataclasses
+
+    import torch
+
+    from vlm_compression_tpu.models.generation import (
+        beam_search,
+        greedy_generate,
+    )
+    from vlm_compression_tpu.models.llama import make_causal_step
+
+    hf, model, variables, ids = llama_pair
+    new_tokens = 6
+    with torch.no_grad():
+        ref = hf.generate(input_ids=torch.tensor(ids),
+                          attention_mask=torch.ones_like(torch.tensor(ids)),
+                          max_new_tokens=new_tokens, num_beams=num_beams,
+                          do_sample=False, early_stopping=False).numpy()
+
+    b, L = ids.shape
+    prefix_ids = jnp.asarray(ids[:, :-1], jnp.int32)
+    prefix_embeds = model.apply(variables, prefix_ids,
+                                method=model.embed_tokens)
+    prefix_mask = jnp.ones((b, L - 1), jnp.int32)
+    start = jnp.asarray(ids[:, -1], jnp.int32)
+    max_len = new_tokens + 1     # start token + generated
+    cfg = GenerationConfig(num_beams=num_beams, max_length=max_len,
+                           min_length=0, decoder_start_token_id=-1,
+                           pad_token_id=0, eos_token_id=1)
+    if num_beams > 1:
+        prefix_embeds = jnp.repeat(prefix_embeds, num_beams, axis=0)
+        prefix_mask = jnp.repeat(prefix_mask, num_beams, axis=0)
+        start_b = jnp.repeat(start, num_beams, axis=0)
+    else:
+        start_b = start
+    step, cache = make_causal_step(model, variables, prefix_embeds,
+                                   prefix_mask, max_decode_len=max_len)
+
+    def step_with_start(tokens, c):
+        tok = jnp.where(tokens[:, 0] == -1, start_b, tokens[:, 0])
+        return step(tok[:, None], c)
+
+    if num_beams > 1:
+        seqs, _ = beam_search(step_with_start, cache, b, cfg)
+    else:
+        seqs, _ = greedy_generate(step_with_start, cache, b, cfg)
+    seqs = np.asarray(seqs.at[:, 0].set(start))
+    # HF returns [prompt ⊕ generated]; ours is [last-prompt-token ⊕ gen]
+    want = ref[:, L - 1:]
+    width = min(want.shape[1], seqs.shape[1])
+    np.testing.assert_array_equal(seqs[:, :width], want[:, :width])
