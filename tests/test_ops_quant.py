@@ -153,3 +153,70 @@ def test_sparse_linear_w8a8_mode():
         use_dynamic_int8(False)
     denom = float(jnp.abs(want).max())
     assert float(jnp.abs(got - want).max()) / denom < 0.02
+
+
+def test_int8_outlier_decomposition_beats_plain_w8a8():
+    """LLM.int8-style static-k outlier decomposition: with emergent
+    outlier feature columns, the decomposed product must be far closer
+    to the exact float result than plain per-row W8A8."""
+    from vlm_compression_tpu.ops.quant import (
+        int8_matmul_dynamic,
+        int8_matmul_outlier,
+        quantize_weight,
+    )
+
+    rng = np.random.default_rng(0)
+    K, N, M = 256, 128, 64
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    q, scale = quantize_weight(w)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    # emergent outliers: 8 feature columns 100x larger (LLM.int8 setting)
+    out_cols = rng.choice(K, 8, replace=False)
+    x[:, out_cols] *= 100.0
+    x = jnp.asarray(x)
+
+    exact = np.asarray(x @ (np.asarray(q, np.float32)
+                            * np.asarray(scale)[None, :]))
+    plain = np.asarray(int8_matmul_dynamic(x, q, scale), np.float32)
+    decomp = np.asarray(int8_matmul_outlier(x, q, scale, num_outliers=16),
+                        np.float32)
+
+    err_plain = np.abs(plain - exact).mean()
+    err_decomp = np.abs(decomp - exact).mean()
+    assert err_decomp < err_plain / 5, (err_plain, err_decomp)
+
+
+def test_int8_outlier_respects_mask():
+    from vlm_compression_tpu.ops.quant import (
+        int8_matmul_outlier,
+        quantize_weight,
+    )
+
+    rng = np.random.default_rng(1)
+    K, N = 128, 64
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    q, scale = quantize_weight(w)
+    mask = jnp.asarray(rng.random((K, N)) > 0.5)
+    x = jnp.asarray(rng.standard_normal((4, K)), jnp.float32)
+    got = np.asarray(int8_matmul_outlier(x, q, scale, mask=mask,
+                                         num_outliers=8), np.float32)
+    deq = np.asarray(q, np.float32) * np.asarray(scale)[None, :]
+    want = np.asarray(x) @ np.where(np.asarray(mask), deq, 0.0)
+    np.testing.assert_allclose(got, want, rtol=0.2, atol=0.3)
+
+
+def test_select_int8_matmul_dispatch():
+    from vlm_compression_tpu.ops import quant as Q
+
+    assert Q.select_int8_matmul() is Q.int8_matmul \
+        or Q.dynamic_int8_enabled()
+    Q.use_dynamic_int8(True)
+    try:
+        assert Q.select_int8_matmul() is Q.int8_matmul_dynamic
+        Q.set_int8_outliers(16)
+        f = Q.select_int8_matmul()
+        assert f.func is Q.int8_matmul_outlier \
+            and f.keywords == {"num_outliers": 16}
+    finally:
+        Q.use_dynamic_int8(False)
+        Q.set_int8_outliers(0)

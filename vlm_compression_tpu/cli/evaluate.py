@@ -70,8 +70,12 @@ def parse_args(argv=None):
     p.add_argument("--w8a8", action="store_true",
                    help="with --quantize_int8: also quantize activations "
                         "per-row at runtime (int8xint8 on the MXU, "
-                        "measured 7.8x faster than bf16 at 2048^3; no "
-                        "outlier decomposition)")
+                        "measured 7.8x faster than bf16 at 2048^3)")
+    p.add_argument("--int8_outliers", type=int, default=0,
+                   help="with --w8a8: keep the k highest-magnitude "
+                        "activation feature columns in float (LLM.int8 "
+                        "outlier decomposition, static-k TPU variant; "
+                        "try 16-64 for towers with emergent outliers)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--model_size", default=None)
     p.add_argument("--seed", type=int, default=42)
@@ -254,8 +258,15 @@ def main(argv=None):
         runner.model.variables = v
         if args.w8a8:
             use_dynamic_int8(True)
-        logging.info("weights quantized to int8%s",
-                     " + W8A8 dynamic activations" if args.w8a8 else "")
+            if args.int8_outliers:
+                from vlm_compression_tpu.ops.quant import set_int8_outliers
+
+                set_int8_outliers(args.int8_outliers)
+        logging.info(
+            "weights quantized to int8%s%s",
+            " + W8A8 dynamic activations" if args.w8a8 else "",
+            f" + {args.int8_outliers} outlier columns"
+            if args.w8a8 and args.int8_outliers else "")
 
     results = runner.evaluate(skip_reload=True)
     stats["eval_results"] = results

@@ -89,9 +89,7 @@ class SparseLinear(nn.Module):
             if qscale is not None:
                 from vlm_compression_tpu.ops import quant as Q
 
-                mm = (Q.int8_matmul_dynamic if Q.dynamic_int8_enabled()
-                      else Q.int8_matmul)
-                y = mm(x, kernel, qscale)
+                y = Q.select_int8_matmul()(x, kernel, qscale)
             else:
                 y = x @ k
         else:
@@ -115,9 +113,7 @@ class SparseLinear(nn.Module):
                 if qscale is not None:
                     from vlm_compression_tpu.ops import quant as Q
 
-                    mm = (Q.int8_matmul_dynamic if Q.dynamic_int8_enabled()
-                          else Q.int8_matmul)
-                    y = mm(x, kernel, qscale, mask)
+                    y = Q.select_int8_matmul()(x, kernel, qscale, mask)
                 elif mask is None:
                     y = x @ k
                 elif packed:

@@ -226,12 +226,77 @@ def int8_matmul_dynamic(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     return y.reshape(*lead, q.shape[1]).astype(x.dtype)
 
 
+def int8_matmul_outlier(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
+                        mask=None, num_outliers: int = 32) -> jnp.ndarray:
+    """W8A8 with mixed-precision outlier decomposition — the full
+    LLM.int8 scheme (Dettmers et al. 2022) the reference reaches through
+    bitsandbytes ``Linear8bitLt`` (peft/tuners/lora.py:505-637).
+
+    TPU-native twist: bitsandbytes thresholds outlier COLUMNS dynamically
+    (``|x| > 6.0``), which produces data-dependent shapes XLA can't
+    compile.  Here the ``num_outliers`` highest-magnitude activation
+    feature columns (static k) stay in float and multiply dequantized
+    weight rows; the remaining columns are zeroed BEFORE per-row absmax
+    quantization, so emergent outlier features no longer blow up the
+    int8 scale of everything else.  Two extra skinny matmul + gathers,
+    all static shapes.
+    """
+    lead = x.shape[:-1]
+    K, N = q.shape
+    x2 = x.reshape(-1, K).astype(jnp.float32)
+    k = min(int(num_outliers), K)
+    col_mag = jnp.max(jnp.abs(x2), axis=0)                 # (K,)
+    _, idx = jax.lax.top_k(col_mag, k)                     # static k
+    x_out = jnp.take(x2, idx, axis=1)                      # (M, k)
+    w_rows = jnp.take(q, idx, axis=0).astype(jnp.float32) * scale[None, :]
+    if mask is not None:
+        from vlm_compression_tpu.ops.bitmask import is_packed, unpack_mask
+        from vlm_compression_tpu.ops.masked_linear import infer_pack_group
+
+        if is_packed(mask):
+            mask = unpack_mask(mask, K, infer_pack_group(K, mask.shape[0]))
+        w_rows = jnp.where(jnp.take(mask, idx, axis=0), w_rows, 0.0)
+    y_out = jnp.dot(x_out, w_rows, preferred_element_type=jnp.float32)
+    # zero the outlier columns so they neither re-enter the int8 product
+    # nor inflate the per-row activation scales
+    keep = jnp.ones((K,), bool).at[idx].set(False)
+    x_rest = jnp.where(keep[None, :], x2, 0.0)
+    y_int = int8_matmul_dynamic(x_rest, q, scale, mask).astype(jnp.float32)
+    y = y_int.reshape(-1, N) + y_out
+    return y.reshape(*lead, N).astype(x.dtype)
+
+
 # When enabled, SparseLinear's int8 paths use the W8A8 dynamic product
 # (per-row activation quantization + int8×int8 MXU) instead of the
 # weight-only expand+dot — measured 7.8× faster at 2048³ on a v5e, at the
-# cost of activation rounding error (no outlier decomposition: avoid for
-# towers with emergent outlier features).
+# cost of activation rounding error.  _INT8_OUTLIERS > 0 switches to the
+# outlier-decomposed variant (int8_matmul_outlier) for towers with
+# emergent outlier features.
 _DYNAMIC_INT8 = False
+_INT8_OUTLIERS = 0
+
+
+def set_int8_outliers(k: int) -> None:
+    global _INT8_OUTLIERS
+    _INT8_OUTLIERS = int(k)
+
+
+def int8_outliers() -> int:
+    return _INT8_OUTLIERS
+
+
+def select_int8_matmul():
+    """The active int8 product for SparseLinear's quantized paths:
+    weight-only expand+dot (default) → W8A8 dynamic (`use_dynamic_int8`)
+    → W8A8 + outlier decomposition (`set_int8_outliers(k>0)`)."""
+    import functools
+
+    if not _DYNAMIC_INT8:
+        return int8_matmul
+    if _INT8_OUTLIERS > 0:
+        return functools.partial(int8_matmul_outlier,
+                                 num_outliers=_INT8_OUTLIERS)
+    return int8_matmul_dynamic
 
 
 def use_dynamic_int8(enable: bool) -> None:
