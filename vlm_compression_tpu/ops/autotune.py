@@ -110,7 +110,9 @@ def _tile_candidates(m: int, k: int, n: int):
         for bn in (512, 256, 128):
             if n % bn:
                 continue
-            for bk in (512, 1024, 256):
+            # bk=128 matters for K=1408-class (ViT-g) shapes, whose only
+            # 128-multiple tiling is 128 itself
+            for bk in (512, 1024, 256, 128):
                 if k % bk:
                     continue
                 seen.append((bm, bn, bk))
