@@ -94,3 +94,49 @@ def test_pallas_packed_kernel_interpret():
         got = _masked_matmul_packed_pallas(x, w, pack_mask(m))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_group256_one_bit_roundtrip_and_matmul():
+    """GROUP=256 layout uses all 32 bits/word (1 bit per weight)."""
+    from vlm_compression_tpu.ops.bitmask import (
+        GROUP_1BIT,
+        pack_mask,
+        packed_rows,
+        unpack_mask,
+    )
+    from vlm_compression_tpu.ops.masked_linear import (
+        infer_pack_group,
+        masked_matmul_packed,
+        masked_matmul_ref,
+    )
+
+    rng = np.random.default_rng(3)
+    for k in (256, 512, 640):
+        m = jnp.asarray(rng.random((k, 128)) > 0.5)
+        p = pack_mask(m, GROUP_1BIT)
+        assert p.shape[0] == packed_rows(k, GROUP_1BIT)
+        # half the words of the 2-bit layout
+        assert p.shape[0] * 2 == packed_rows(k, 128) or k % 256
+        np.testing.assert_array_equal(
+            np.asarray(unpack_mask(p, k, GROUP_1BIT)), np.asarray(m))
+        assert infer_pack_group(k, p.shape[0]) == GROUP_1BIT
+        x = jnp.asarray(rng.standard_normal((8, k)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, 128)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(masked_matmul_packed(x, w, p)),
+            np.asarray(masked_matmul_ref(x, w, m)), rtol=1e-5, atol=1e-5)
+
+
+def test_masks_tree_records_group():
+    from vlm_compression_tpu.ops.bitmask import (
+        pack_masks_tree,
+        unpack_masks_tree,
+    )
+
+    rng = np.random.default_rng(4)
+    m = jnp.asarray(rng.random((300, 64)) > 0.5)
+    tree = pack_masks_tree({"l": {"mask": m}}, group=256)
+    assert int(tree["l"]["mask_group"]) == 256
+    back = unpack_masks_tree(tree)
+    np.testing.assert_array_equal(np.asarray(back["l"]["mask"]),
+                                  np.asarray(m))
