@@ -31,8 +31,25 @@ import jax.numpy as jnp
 # decisions measured on TPU v5e (single chip, warm, scalar-fenced; see
 # BENCH_NOTES.md "masked-matmul autotune" table).  Keys are
 # "m,k,n,dtype"; values {"backend": "pallas"|"xla", "tiles": [bm,bn,bk],
-# "pallas_us": float, "xla_us": float}.
-DEFAULT_DECISIONS: Dict[str, dict] = {}
+# "pallas_us": float, "xla_us": float}.  A host-local cache file
+# overrides these.
+DEFAULT_DECISIONS: Dict[str, dict] = {
+    "2048,2048,2048,bfloat16": {
+        "backend": "xla", "tiles": [1024, 256, 1024],
+        "pallas_us": 2865.5, "xla_us": 2773.0},
+    "2048,2048,5120,bfloat16": {
+        "backend": "pallas", "tiles": [1024, 512, 512],
+        "pallas_us": 3100.2, "xla_us": 4645.2},
+    "2048,5120,2048,bfloat16": {
+        "backend": "pallas", "tiles": [1024, 512, 512],
+        "pallas_us": 4286.4, "xla_us": 5448.6},
+    "4096,6144,1408,bfloat16": {
+        "backend": "pallas", "tiles": [512, 128, 1024],
+        "pallas_us": 3241.5, "xla_us": 4770.2},
+    "16,2048,2048,bfloat16": {
+        "backend": "pallas", "tiles": [16, 512, 512],
+        "pallas_us": 4020.7, "xla_us": 5132.9},
+}
 
 _CACHE: Optional[Dict[str, dict]] = None
 
