@@ -204,3 +204,73 @@ def test_config_tree_resolves():
         registry.get_task_class(task)  # raises KeyError on unknown names
         for ds in tree.get("datasets", {}):
             assert registry.get_builder_class(ds) is not None, (path, ds)
+
+
+def test_processor_registry_matches_reference():
+    """All 11 reference register_processor names resolve
+    (lavis/processors/{blip,clip,alpro,gpt}_processors.py)."""
+    from vlm_compression_tpu.common.registry import registry
+    from vlm_compression_tpu.datasets import processors  # noqa: F401
+
+    names = ["blip_image_train", "blip_image_eval", "blip2_image_train",
+             "blip_caption", "blip_question", "clip_image_train",
+             "clip_image_eval", "alpro_video_train", "alpro_video_eval",
+             "gpt_dialogue", "gpt_video_ft"]
+    missing = [n for n in names if registry.get_processor_class(n) is None]
+    assert not missing, missing
+
+
+def test_blip1_train_and_clip_processors():
+    img = Image.fromarray(np.random.RandomState(0).randint(
+        0, 255, (60, 80, 3), np.uint8))
+    tr = load_processor("blip_image_train", {"image_size": 32})
+    assert tr(img).shape == (32, 32, 3)
+    ce = load_processor("clip_image_eval", {"image_size": 32})
+    assert ce(img).shape == (32, 32, 3)
+    ct = load_processor("clip_image_train", {"image_size": 32})
+    assert ct(img).shape == (32, 32, 3)
+
+
+def test_alpro_video_processors():
+    vid = np.random.RandomState(0).randint(
+        0, 255, (10, 40, 50, 3), np.uint8)
+    ev = load_processor("alpro_video_eval", {"image_size": 24, "n_frms": 4})
+    out = ev(vid)
+    assert out.shape == (4, 24, 24, 3) and out.dtype == np.float32
+    tr = load_processor("alpro_video_train", {"image_size": 24,
+                                              "n_frms": 4})
+    assert tr(vid).shape == (4, 24, 24, 3)
+
+
+def test_gpt_dialogue_processor_segments():
+    proc = load_processor("gpt_dialogue", {"max_turns": 2})
+    ann = {"caption": "a video", "summary": "people talk",
+           "dialog": [{"question": "who", "answer": "two people"},
+                      {"question": "where", "answer": "inside"}],
+           "question": "what happens", "answer": "they wave"}
+    item = proc(ann)
+    assert len(item["input_ids"]) == len(item["token_type_ids"]) \
+        == len(item["labels"])
+    # labels mask everything except the final (answer) segment
+    n_ans = int((item["labels"] != -1).sum())
+    assert 0 < n_ans < len(item["labels"])
+    np.testing.assert_array_equal(item["labels"][-n_ans:],
+                                  item["input_ids"][-n_ans:])
+    # caption tokens typed <cap>, turn tokens alternate speakers
+    assert item["token_type_ids"][0] == proc.cap
+    assert proc.speaker1 in item["token_type_ids"]
+
+
+def test_gpt_video_ft_processor(tmp_path):
+    import os
+
+    os.makedirs(tmp_path / "i3d_rgb")
+    os.makedirs(tmp_path / "vggish")
+    np.save(tmp_path / "i3d_rgb" / "clip.npy",
+            np.random.rand(6, 8).astype(np.float32))
+    np.save(tmp_path / "vggish" / "clip.npy",
+            np.random.rand(5, 4).astype(np.float32))
+    proc = load_processor("gpt_video_ft", None)
+    out = proc(str(tmp_path), "clip")
+    assert out["video_fts"].shape == (5, 12)
+    assert out["attention_mask"].shape == (5,)
