@@ -274,3 +274,44 @@ def test_gpt_video_ft_processor(tmp_path):
     out = proc(str(tmp_path), "clip")
     assert out["video_fts"].shape == (5, 12)
     assert out["attention_mask"].shape == (5,)
+
+
+@pytest.mark.slow
+def test_gpt_dialogue_processor_drives_model(tmp_path):
+    """Processor → model integration: the AVSD GPT pipeline end-to-end
+    (gpt_dialogue processor streams + gpt_video_ft features feed the
+    gpt_dialogue model's forward with answer-only labels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlm_compression_tpu.datasets.tokenization import SimpleTokenizer
+    from vlm_compression_tpu.models.gpt_dialogue import (
+        GPTDialogue,
+        GPTDialogueConfig,
+    )
+
+    cfg = GPTDialogueConfig(vocab_size=256, n_embd=16, n_layer=2,
+                            n_head=2, n_positions=128, len_video_ft=8)
+    proc = load_processor("gpt_dialogue", {"max_turns": 1})
+    proc.tokenizer = SimpleTokenizer(vocab_size=251)
+    proc.bos, proc.eos, proc.speaker1, proc.speaker2, proc.cap = \
+        range(251, 256)
+    item = proc({"caption": "a cat", "summary": "sits",
+                 "dialog": [{"question": "who", "answer": "a cat"}],
+                 "question": "what", "answer": "it sits"})
+    # gpt_video_ft features
+    os.makedirs(tmp_path / "i3d_rgb", exist_ok=True)
+    np.save(tmp_path / "i3d_rgb" / "v.npy",
+            np.random.rand(3, 8).astype(np.float32))
+    vproc = load_processor("gpt_video_ft", {"visual_ft": ["i3d_rgb"],
+                                            "audio_ft": []})
+    fts = vproc(str(tmp_path), "v")
+
+    model = GPTDialogue(cfg)
+    ids = jnp.asarray(item["input_ids"])[None]
+    labels = jnp.asarray(item["labels"])[None]
+    vid = jnp.asarray(fts["video_fts"])[None]
+    variables = model.init(jax.random.key(0), ids, vid, labels)
+    out = model.apply(variables, ids, vid, labels)
+    assert np.isfinite(float(out["loss"]))
+    assert "video_loss" in out
