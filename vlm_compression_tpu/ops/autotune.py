@@ -46,9 +46,6 @@ DEFAULT_DECISIONS: Dict[str, dict] = {
     "4096,6144,1408,bfloat16": {
         "backend": "pallas", "tiles": [512, 128, 1024],
         "pallas_us": 3241.5, "xla_us": 4770.2},
-    "16,2048,2048,bfloat16": {
-        "backend": "pallas", "tiles": [16, 512, 512],
-        "pallas_us": 4020.7, "xla_us": 5132.9},
 }
 
 _CACHE: Optional[Dict[str, dict]] = None
@@ -114,6 +111,31 @@ def time_call(fn, *args, iters: int = 10) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def time_call_chained(fn, x, w, mask, iters: int = 64) -> float:
+    """Seconds per kernel invocation with ALL iterations inside one
+    compiled program (a fori_loop whose carry feeds back into the input
+    at 1e-38 scale, so XLA cannot CSE the calls away).  This removes
+    host→device dispatch from the measurement — essential for small
+    (decode-step) shapes, where tunnel dispatch latency is 1000× the
+    kernel time and would otherwise decide the winner."""
+
+    def chained(x, w, mask):
+        def body(_, acc):
+            y = fn(x + acc, w, mask)
+            return acc * 0.5 + y[0, :1].astype(jnp.float32) * 1e-38
+
+        return jax.lax.fori_loop(0, iters, body,
+                                 jnp.zeros((1,), jnp.float32))
+
+    f = jax.jit(chained)
+    out = f(x, w, mask)
+    _sync(out)
+    t0 = time.perf_counter()
+    out = f(x, w, mask)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
 # ---------------------------------------------------------------------------
 # tuning
 # ---------------------------------------------------------------------------
@@ -163,16 +185,23 @@ def tune_masked_matmul(m: int, k: int, n: int, dtype: str = "bfloat16",
     w = jax.random.normal(kw, (k, n), jnp.float32).astype(jdt)
     mask = jax.random.bernoulli(km, 0.5, (k, n))
 
-    xla = jax.jit(ml.masked_matmul_ref)
-    t_xla = time_call(xla, x, w, mask, iters=iters)
+    # decode-class shapes: chain iterations inside one program so the
+    # decision reflects kernel time, not tunnel dispatch latency
+    chained = m <= 128
+
+    def measure(fn):
+        if chained:
+            return time_call_chained(fn, x, w, mask, iters=8 * iters)
+        return time_call(jax.jit(fn), x, w, mask, iters=iters)
+
+    t_xla = measure(ml.masked_matmul_ref)
 
     best_tiles, t_pallas = None, float("inf")
     if jax.default_backend() == "tpu":
         for tiles in _tile_candidates(m, k, n):
             try:
-                f = jax.jit(lambda a, b, c, t=tiles:
-                            ml._masked_matmul_pallas(a, b, c, t))
-                t = time_call(f, x, w, mask, iters=iters)
+                t = measure(lambda a, b, c, tt=tiles:
+                            ml._masked_matmul_pallas(a, b, c, tt))
             except Exception:
                 continue
             if verbose:
