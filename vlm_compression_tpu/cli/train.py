@@ -87,6 +87,10 @@ def parse_args(argv=None):
                         "per weight, 4x less HBM than bool masks); the "
                         "masked forward expands words per-tile in VMEM "
                         "(ops/bitmask.py)")
+    p.add_argument("--pack_masks_group", type=int, default=128,
+                   choices=(128, 256),
+                   help="pack layout: 128 = 2 bits/weight, 256 = 1 "
+                        "bit/weight (all 32 bits per word)")
     p.add_argument("--model_size", default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny towers (tests / smoke runs)")
@@ -252,9 +256,11 @@ def main(argv=None):
         from vlm_compression_tpu.ops.bitmask import pack_masks_tree
 
         v = dict(runner.model.variables)
-        v["masks"] = pack_masks_tree(v["masks"])
+        v["masks"] = pack_masks_tree(v["masks"],
+                                     group=args.pack_masks_group)
         runner.model.variables = v
-        logging.info("masks bit-packed (2 bits/weight)")
+        logging.info("masks bit-packed (%d bits/weight)",
+                     256 // args.pack_masks_group)
 
     if args.evaluate:
         t0 = time.perf_counter()
