@@ -140,3 +140,20 @@ def test_evaluate_cli_int8(workdir):
         "--quantize_int8",
     ])
     assert "val" in stats["eval_results"]
+
+
+def test_evaluate_cli_w8a8_outliers(workdir):
+    from vlm_compression_tpu.cli.evaluate import main
+    from vlm_compression_tpu.ops import quant as Q
+
+    root, cfg_path = workdir
+    try:
+        stats = main([
+            "--cfg-path", cfg_path, "--job_id", "evq8", "--tiny",
+            "--quantize_int8", "--w8a8", "--int8_outliers", "8",
+        ])
+        assert "val" in stats["eval_results"]
+        assert Q.dynamic_int8_enabled() and Q.int8_outliers() == 8
+    finally:
+        Q.use_dynamic_int8(False)
+        Q.set_int8_outliers(0)
