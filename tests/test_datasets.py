@@ -311,7 +311,8 @@ def test_gpt_dialogue_processor_drives_model(tmp_path):
     ids = jnp.asarray(item["input_ids"])[None]
     labels = jnp.asarray(item["labels"])[None]
     vid = jnp.asarray(fts["video_fts"])[None]
-    variables = model.init(jax.random.key(0), ids, vid, labels)
-    out = model.apply(variables, ids, vid, labels)
+    tt = jnp.asarray(item["token_type_ids"])[None]
+    variables = model.init(jax.random.key(0), ids, vid, labels, tt)
+    out = model.apply(variables, ids, vid, labels, tt)
     assert np.isfinite(float(out["loss"]))
     assert "video_loss" in out

@@ -158,3 +158,21 @@ def test_gqarc_normalization_in_scoring(tmp_path):
                     "gt_ans": "2"}], fh)
     m = task._report_metrics(f, "val", rd)
     assert m["agg_metrics"] == pytest.approx(100.0)
+
+
+def test_dialogue_default_prepare_tokenizes(tiny_blip2):
+    """Through the standard runner path (no injected prepare_batch) the
+    task tokenizes text and filters non-model keys (advisor finding)."""
+    model, variables, _ = tiny_blip2
+    tok = SimpleTokenizer(vocab_size=96)
+    task = DialogueTask(tokenizer=tok, max_len=6)
+    samples = {
+        "image": np.ones((2, 28, 28, 3), np.float32) * 0.1,
+        "text_input": ["hello there", "how are you"],
+        "text_output": ["hi", "fine"],
+        "instance_id": [0, 1],
+    }
+    # Blip2T5Instruct needs qformer ids too; default prepare leaves
+    # image/input_ids/attention_mask/labels — the model accepts those
+    losses = task.valid_step(FlaxModel(model, variables), samples)
+    assert len(losses) == 1 and np.isfinite(losses[0])

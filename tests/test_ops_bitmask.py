@@ -140,3 +140,23 @@ def test_masks_tree_records_group():
     back = unpack_masks_tree(tree)
     np.testing.assert_array_equal(np.asarray(back["l"]["mask"]),
                                   np.asarray(m))
+
+
+def test_group256_lora_forward_unpacks_correctly():
+    """Regression (advisor): SparseLinear's LoRA path must infer the
+    pack group when unpacking 1-bit masks."""
+    import jax
+
+    from vlm_compression_tpu.models.layers import SparseLinear
+    from vlm_compression_tpu.ops.bitmask import pack_masks_tree
+
+    rng = np.random.default_rng(0)
+    lin = SparseLinear(64, lora_rank=4, param_dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+    variables = dict(lin.init(jax.random.key(0), x, mode="sparse_lora"))
+    ref = lin.apply(variables, x, mode="sparse_lora")
+    packed_vars = dict(variables)
+    packed_vars["masks"] = pack_masks_tree(variables["masks"], group=256)
+    got = lin.apply(packed_vars, x, mode="sparse_lora")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -256,11 +256,17 @@ class _VideoFramesMixin:
         spec = ann.get("video", ann.get("image"))
         if isinstance(spec, str) and spec.endswith(".npy"):
             stack = np.load(os.path.join(self.vis_root, spec))
-            if stack.dtype != np.float32:
-                stack = stack.astype(np.float32) / 255.0
-            frames = [self.vis_processor(Image.fromarray(
-                (np.clip(f, 0, 1) * 255).astype(np.uint8)))
-                for f in stack]
+            if stack.dtype == np.uint8:
+                u8 = stack
+            else:
+                # float stacks may be [0,1] or [0,255]; decide by range,
+                # not dtype
+                arr = stack.astype(np.float32)
+                if arr.max() > 1.5:
+                    u8 = np.clip(arr, 0, 255).astype(np.uint8)
+                else:
+                    u8 = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+            frames = [self.vis_processor(Image.fromarray(f)) for f in u8]
         else:
             paths = self._frame_paths(spec)
             frames = []

@@ -66,7 +66,7 @@ class Blip2ImageTrainProcessor(BaseProcessor):
         self.max_scale = max_scale
         self.rng = rng or np.random.default_rng()
 
-    def __call__(self, img: Image.Image) -> np.ndarray:
+    def _crop_flip_pil(self, img: Image.Image) -> Image.Image:
         w, h = img.size
         area = w * h
         for _ in range(10):
@@ -86,7 +86,10 @@ class Blip2ImageTrainProcessor(BaseProcessor):
         img = img.resize((self.image_size, self.image_size), Image.BICUBIC)
         if self.rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
-        return _to_float(img)
+        return img
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        return _to_float(self._crop_flip_pil(img))
 
 
 def pre_caption(caption: str, max_words: Optional[int] = None) -> str:
@@ -204,15 +207,9 @@ class BlipImageTrainProcessor(Blip2ImageTrainProcessor):
         self.randaug = RandomAugment(2, 5, rng=self.rng)
 
     def __call__(self, img: Image.Image) -> np.ndarray:
-        # crop/flip from the parent operate on PIL before normalization;
-        # replicate its pipeline with RandAugment inserted pre-normalize
-        w, h = img.size
-        s = min(w, h)
-        x, y = (w - s) // 2, (h - s) // 2
-        img = img.crop((x, y, x + s, y + s)).resize(
-            (self.image_size, self.image_size), Image.BICUBIC)
-        if self.rng.random() < 0.5:
-            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        # the parent's RandomResizedCrop+flip on PIL, with RandAugment
+        # inserted before normalization
+        img = self._crop_flip_pil(img)
         img = self.randaug(img.convert("RGB"))
         return _to_float(img)
 
@@ -268,7 +265,9 @@ class _AlproVideoBase(BaseProcessor):
         else:
             frames = list(video)
         t = len(frames)
-        idx = np.linspace(0, t - 1, min(self.n_frms, t)).round().astype(int)
+        # always exactly n_frms (short clips repeat frames): ragged
+        # per-sample frame counts would break the batch stack
+        idx = np.linspace(0, t - 1, self.n_frms).round().astype(int)
         return [frames[i] for i in idx]
 
 

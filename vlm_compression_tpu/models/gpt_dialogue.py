@@ -107,9 +107,13 @@ class GPTDialogue(nn.Module):
         return self.ln_f(x)
 
     def __call__(self, input_ids, video_fts=None, labels=None,
-                 mode: str = "masked"):
+                 token_type_ids=None, mode: str = "masked"):
         cfg = self.cfg
         tok = self.wte(input_ids).astype(jnp.float32)
+        if token_type_ids is not None:
+            # segment embeddings (cap/speaker1/speaker2) share the token
+            # embedding table, like the reference GPT dialogue model
+            tok = tok + self.wte(token_type_ids).astype(jnp.float32)
         n_vid = 0
         if video_fts is not None:
             vid = self.video_ff(video_fts.astype(jnp.float32), mode=mode)

@@ -142,8 +142,13 @@ class SparseLinear(nn.Module):
                 b = lora_b.astype(dtype)
                 if packed:
                     from vlm_compression_tpu.ops.bitmask import unpack_mask
+                    from vlm_compression_tpu.ops.masked_linear import (
+                        infer_pack_group,
+                    )
 
-                    mask = unpack_mask(mask, in_features)
+                    mask = unpack_mask(
+                        mask, in_features,
+                        infer_pack_group(in_features, mask.shape[0]))
                 if mask is None:
                     z = (x @ a) @ b
                     y = x @ k + (scale * z.astype(jnp.float32)).astype(dtype)

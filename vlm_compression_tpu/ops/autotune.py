@@ -48,7 +48,8 @@ DEFAULT_DECISIONS: Dict[str, dict] = {
         "pallas_us": 3241.5, "xla_us": 4770.2},
 }
 
-_CACHE: Optional[Dict[str, dict]] = None
+_CACHE: Optional[Dict[str, dict]] = None   # merged view (defaults + tuned)
+_TUNED: Dict[str, dict] = {}               # file-backed entries only
 
 
 def _cache_path() -> str:
@@ -61,21 +62,26 @@ def _cache_path() -> str:
 def _load_cache() -> Dict[str, dict]:
     global _CACHE
     if _CACHE is None:
-        _CACHE = dict(DEFAULT_DECISIONS)
+        _TUNED.clear()
         try:
             with open(_cache_path()) as f:
-                _CACHE.update(json.load(f))
+                _TUNED.update(json.load(f))
         except (OSError, ValueError):
             pass
+        _CACHE = dict(DEFAULT_DECISIONS)
+        _CACHE.update(_TUNED)
     return _CACHE
 
 
 def _save_cache() -> None:
+    """Persist only this host's MEASURED decisions — never the shipped
+    DEFAULT_DECISIONS, so library updates to the defaults keep taking
+    effect on hosts that haven't tuned those shapes themselves."""
     path = _cache_path()
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            json.dump(_CACHE, f, indent=1, sort_keys=True)
+            json.dump(_TUNED, f, indent=1, sort_keys=True)
     except OSError:
         pass
 
@@ -121,7 +127,10 @@ def time_call_chained(fn, x, w, mask, iters: int = 64) -> float:
 
     def chained(x, w, mask):
         def body(_, acc):
-            y = fn(x + acc, w, mask)
+            # cast the perturbed input back to x.dtype: bf16 + f32 carry
+            # would otherwise promote the whole measurement to f32
+            xi = (x.astype(jnp.float32) + acc).astype(x.dtype)
+            y = fn(xi, w, mask)
             return acc * 0.5 + y[0, :1].astype(jnp.float32) * 1e-38
 
         return jax.lax.fori_loop(0, iters, body,
@@ -178,6 +187,10 @@ def tune_masked_matmul(m: int, k: int, n: int, dtype: str = "bfloat16",
     key = _key(m, k, n, dtype)
     if key in cache:
         return cache[key]
+    if jax.default_backend() != "tpu":
+        # never record CPU timings for a TPU dispatch decision
+        return {"backend": "xla", "tiles": None,
+                "pallas_us": None, "xla_us": None}
 
     jdt = jnp.dtype(dtype)
     kx, kw, km = jax.random.split(jax.random.key(0), 3)
@@ -216,6 +229,7 @@ def tune_masked_matmul(m: int, k: int, n: int, dtype: str = "bfloat16",
         "xla_us": round(t_xla * 1e6, 1),
     }
     cache[key] = decision
+    _TUNED[key] = decision
     _save_cache()
     if verbose:
         print(f"{key}: {decision}")

@@ -71,7 +71,13 @@ def _int8_matmul_pallas(x2, q, packed):
     _, n = q.shape
     bm = _pick(m, (256, 128, 64, 32, 16, 8))
     bn = _pick(n, (512, 256, 128))
-    bk = 128
+    # packed masks pin bk to their pack group (128 = 2-bit, 256 = 1-bit)
+    if packed is not None:
+        from vlm_compression_tpu.ops.masked_linear import infer_pack_group
+
+        bk = infer_pack_group(k, packed.shape[0])
+    else:
+        bk = 128
     if bm is None or bn is None or k % bk != 0:
         return None
 
@@ -87,7 +93,7 @@ def _int8_matmul_pallas(x2, q, packed):
 
         w = w_ref[:].astype(x_ref.dtype)
         if packed is not None:
-            words = pltpu.repeat(m_ref[:], 16, axis=0)
+            words = pltpu.repeat(m_ref[:], w.shape[0] // 8, axis=0)
             shift = (jax.lax.broadcasted_iota(jnp.uint32, w.shape, 0)
                      // jnp.uint32(8))
             bits = (words >> shift) & jnp.uint32(1)

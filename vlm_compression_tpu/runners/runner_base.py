@@ -255,7 +255,9 @@ class RunnerBase:
         accum = self.accum_grad_iters
         # ``iters`` counts micro-iterations like the reference
         # (base_task.py:262-353 steps the optimizer every accum iters);
-        # the fused step consumes accum loader batches at once.
+        # the fused step consumes accum loader batches at once.  Trailing
+        # iters % accum micro-iterations produce no optimizer step — the
+        # reference's step-every-k loop drops them the same way.
         opt_steps = max(1, iters // accum)
         logger = MetricLogger(delimiter="  ")
         logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
@@ -267,10 +269,21 @@ class RunnerBase:
         for i in logger.log_every(range(opt_steps),
                                   int(_get(self.run_cfg, "log_freq", 50)),
                                   f"Train: data epoch: [{epoch}]"):
+            def pull():
+                # train loaders are usually cycling IterLoaders; guard
+                # plain finite loaders so accum can't StopIteration
+                # mid-epoch
+                nonlocal it
+                try:
+                    return next(it)
+                except StopIteration:
+                    it = iter(loader)
+                    return next(it)
+
             if accum == 1:
-                batch = self.prepare_batch(next(it))
+                batch = self.prepare_batch(pull())
             else:
-                micro = [self.prepare_batch(next(it)) for _ in range(accum)]
+                micro = [self.prepare_batch(pull()) for _ in range(accum)]
                 batch = _concat_micro_batches(micro)
             batch = {k: jax.device_put(v, sharding)
                      for k, v in batch.items()

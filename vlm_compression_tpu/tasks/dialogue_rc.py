@@ -45,18 +45,48 @@ class DialogueTask(BaseTask):
     """AVSD dialogue: validation metric is mean generation loss
     (reference dialogue.py:51-65)."""
 
+    # keys a model forward can consume; everything else in a collated
+    # sample dict (ids, raw text, ...) is dropped
+    MODEL_KEYS = ("image", "input_ids", "attention_mask", "labels",
+                  "token_type_ids", "video_fts",
+                  "qformer_input_ids", "qformer_attention_mask",
+                  "text_input_ids", "text_attention_mask")
+
     def __init__(self, num_beams: int = 5, max_len: int = 30,
                  min_len: int = 1, evaluate: bool = True,
-                 report_metric: bool = True, prepare_batch=None):
+                 report_metric: bool = True, prepare_batch=None,
+                 tokenizer=None):
         super().__init__()
         self.num_beams = num_beams
         self.max_len = max_len
         self.min_len = min_len
         self.evaluate = evaluate
         self.report_metric = report_metric
+        self.tokenizer = tokenizer
         # samples → model kwargs (dialogue history rides in as the
-        # instruction text); identity when samples are already prepared
-        self.prepare_batch = prepare_batch or (lambda s: s)
+        # instruction text); the default tokenizes text_input/text_output
+        # when a tokenizer is present and filters to MODEL_KEYS
+        self.prepare_batch = prepare_batch or self._default_prepare
+
+    def _default_prepare(self, samples):
+        batch = dict(samples)
+        if "input_ids" not in batch and "text_input" in batch \
+                and self.tokenizer is not None:
+            from vlm_compression_tpu.datasets.tokenization import (
+                batch_encode,
+            )
+
+            ids, mask = batch_encode(self.tokenizer, batch["text_input"],
+                                     self.max_len)
+            batch["input_ids"], batch["attention_mask"] = ids, mask
+            if "labels" not in batch:
+                out_ids, out_mask = batch_encode(
+                    self.tokenizer,
+                    batch.get("text_output", batch["text_input"]),
+                    self.max_len)
+                batch["labels"] = np.where(out_mask.astype(bool),
+                                           out_ids, -100)
+        return batch
 
     @classmethod
     def setup_task(cls, cfg=None, **kw):
@@ -71,9 +101,8 @@ class DialogueTask(BaseTask):
     def valid_step(self, model, samples) -> List[float]:
         batch = self.prepare_batch(samples)
         batch = {k: jnp.asarray(v) for k, v in batch.items()
-                 if isinstance(v, (np.ndarray, jnp.ndarray, list))
-                 and not isinstance(v[0] if isinstance(v, list) else None,
-                                    str)}
+                 if k in self.MODEL_KEYS
+                 and isinstance(v, (np.ndarray, jnp.ndarray, list))}
         out = model.module.apply(model.variables, **batch)
         return [float(out["loss"])]
 
