@@ -218,3 +218,74 @@ run:
 """)
     model = BaseTask().build_model(Config(str(p)))
     assert model.module.cfg.t5.dtype == "float32"
+
+
+@pytest.mark.slow
+def test_remat_matches_plain_forward_and_grad():
+    """use_remat must change memory, not math: identical loss and
+    gradients for the T5 and ViT towers."""
+    import dataclasses
+
+    from vlm_compression_tpu.models.blip2_t5_instruct import (
+        Blip2T5Instruct,
+        Blip2T5InstructConfig,
+    )
+    from vlm_compression_tpu.models.eva_vit import EvaViTConfig
+    from vlm_compression_tpu.models.qformer import QFormerConfig
+    from vlm_compression_tpu.models.t5 import T5Config
+
+    base = Blip2T5InstructConfig(
+        vit=EvaViTConfig.tiny(param_dtype="float32", dtype="float32"),
+        qformer=QFormerConfig.tiny(),
+        t5=T5Config.tiny(param_dtype="float32", dtype="float32"),
+    )
+    remat = dataclasses.replace(
+        base,
+        vit=dataclasses.replace(base.vit, use_remat=True),
+        t5=dataclasses.replace(base.t5, use_remat=True))
+    b = 2
+    batch = dict(
+        image=jnp.ones((b, 28, 28, 3), jnp.float32) * 0.1,
+        input_ids=jnp.ones((b, 6), jnp.int32),
+        attention_mask=jnp.ones((b, 6), jnp.int32),
+        labels=jnp.ones((b, 5), jnp.int32),
+    )
+    m0, m1 = Blip2T5Instruct(base), Blip2T5Instruct(remat)
+    v = dict(m0.init(jax.random.key(0), **batch))
+
+    def loss(m, params):
+        return m.apply({"params": params, "masks": v["masks"]},
+                       **batch)["loss"]
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(v["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(v["params"])
+    assert float(l0) == pytest.approx(float(l1), abs=1e-6)
+    for a, b2 in zip(jax.tree_util.tree_leaves(g0),
+                     jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_remat_generate_still_works():
+    """KV-cached decode under a use_remat config must not break."""
+    import dataclasses
+
+    from vlm_compression_tpu.models.generation import (
+        GenerationConfig,
+        t5_generate,
+    )
+    from vlm_compression_tpu.models.t5 import (
+        T5Config,
+        T5ForConditionalGeneration,
+    )
+
+    cfg = dataclasses.replace(T5Config.tiny(), use_remat=True)
+    model = T5ForConditionalGeneration(cfg)
+    ids = jnp.ones((2, 5), jnp.int32)
+    mask = jnp.ones((2, 5), jnp.int32)
+    v = dict(model.init(jax.random.key(0), ids, mask,
+                        decoder_input_ids=jnp.zeros((2, 1), jnp.int32)))
+    seqs = t5_generate(model, v, ids, mask,
+                       cfg=GenerationConfig(num_beams=2, max_length=5))
+    assert seqs.shape == (2, 5)

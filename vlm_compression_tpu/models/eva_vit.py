@@ -163,7 +163,11 @@ class EvaViT(nn.Module):
     def __call__(self, images, mode: str = "masked"):
         x = self.embed(images)
         for blk in self.blocks:
-            x = blk(x, mode)
+            if self.cfg.use_remat:
+                x = nn.remat(lambda m, xx, mo: m(xx, mo),
+                             static_argnums=(2,))(blk, x, mode)
+            else:
+                x = blk(x, mode)
         # BLIP-2 path: no final norm (eva_vit.py:406-411)
         return x
 

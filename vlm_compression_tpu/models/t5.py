@@ -44,6 +44,11 @@ class T5Config:
     dtype: str = "bfloat16"
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # rematerialize each block's activations in the backward pass —
+    # trades FLOPs for memory so dense-teacher + student + grads fit XL
+    # towers on one chip (SURVEY §7 hard part 5); training path only
+    # (the KV-cached decode path never differentiates)
+    use_remat: bool = False
 
     @staticmethod
     def flan_t5_xl(**kw) -> "T5Config":
@@ -242,6 +247,23 @@ def causal_mask(q_len, k_len=None):
     return jnp.where(j <= i + (k_len - q_len), 0.0, -1e9)[None, None]
 
 
+def _apply_block(blk, x, enc_out, bias, cmask, mode, decode,
+                 use_remat: bool):
+    """One transformer block, optionally under jax.checkpoint (flax
+    function-form nn.remat keeps the block's scope/param names intact).
+    The KV-cached decode path stays un-remat'd: it mutates the cache
+    collection and is never differentiated."""
+    if use_remat and not decode:
+        fn = nn.remat(
+            lambda m, xx, eo, bb, cm, mo, de: m(
+                xx, enc_out=eo, self_bias=bb, cross_mask=cm, mode=mo,
+                decode=de),
+            static_argnums=(5, 6))
+        return fn(blk, x, enc_out, bias, cmask, mode, decode)
+    return blk(x, enc_out=enc_out, self_bias=bias, cross_mask=cmask,
+               mode=mode, decode=decode)
+
+
 class T5Encoder(nn.Module):
     cfg: T5Config
 
@@ -259,7 +281,8 @@ class T5Encoder(nn.Module):
         if mask is not None:
             bias = bias + mask
         for blk in self.blocks:
-            x = blk(x, self_bias=bias, mode=mode)
+            x = _apply_block(blk, x, None, bias, None, mode, False,
+                             self.cfg.use_remat)
         return self.final_norm(x)
 
 
@@ -290,8 +313,8 @@ class T5Decoder(nn.Module):
                 bias = bias + extend_mask(dec_mask)
         cmask = extend_mask(enc_mask)
         for blk in self.blocks:
-            x = blk(x, enc_out=enc_out, self_bias=bias, cross_mask=cmask,
-                    mode=mode, decode=decode)
+            x = _apply_block(blk, x, enc_out, bias, cmask, mode, decode,
+                             self.cfg.use_remat)
         return self.final_norm(x)
 
 
