@@ -38,6 +38,7 @@ class LlamaConfig:
     dtype: str = "bfloat16"
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    use_remat: bool = False   # jax.checkpoint per block (training path)
 
     @property
     def head_dim(self) -> int:
@@ -238,7 +239,14 @@ class LlamaForCausalLM(nn.Module):
                 mask = mask + jnp.where(
                     attention_mask[:, None, None, :].astype(bool), 0.0, -1e9)
         for blk in self.blocks:
-            x = blk(x, mask, positions, mode=mode, decode=decode)
+            if self.cfg.use_remat and not decode:
+                x = nn.remat(
+                    lambda m, xx, mm, pp, mo, de: m(xx, mm, pp, mode=mo,
+                                                    decode=de),
+                    static_argnums=(4, 5))(blk, x, mask, positions, mode,
+                                           decode)
+            else:
+                x = blk(x, mask, positions, mode=mode, decode=decode)
         return self.final_norm(x)
 
     def logits(self, hidden, mode="masked"):
