@@ -215,3 +215,36 @@ def test_vicuna_kd_train_step():
     state, metrics = step(state, batch, 1e-3)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_predict_class_vicuna_ranking_surface():
+    """predict_class counterpart for the decoder-only composition
+    (reference blip2_vicuna_instruct.predict_class :445-583)."""
+    from vlm_compression_tpu.models.blip2_vicuna_instruct import (
+        Blip2VicunaInstruct,
+        Blip2VicunaInstructConfig,
+        predict_class_vicuna,
+    )
+
+    cfg = Blip2VicunaInstructConfig.tiny()
+    m = Blip2VicunaInstruct(cfg)
+    b = 2
+    batch = dict(image=jnp.ones((b, 28, 28, 3), jnp.float32) * 0.1,
+                 text_input_ids=jnp.ones((b, 6), jnp.int32),
+                 text_attention_mask=jnp.ones((b, 6), jnp.int32),
+                 labels=jnp.ones((b, 6), jnp.int32),
+                 qformer_input_ids=jnp.ones((b, 4), jnp.int32),
+                 qformer_attention_mask=jnp.ones((b, 4), jnp.int32))
+    v = dict(m.init(jax.random.key(0), **batch))
+    # duplicate candidate 0 as candidate 2: scores must match exactly
+    cands = jnp.asarray([[5, 9, 0], [7, 2, 0], [5, 9, 0]], jnp.int32)
+    cmask = jnp.asarray([[1, 1, 0], [1, 1, 0], [1, 1, 0]], jnp.int32)
+    nll = np.asarray(predict_class_vicuna(
+        m, v, batch["image"], batch["text_input_ids"],
+        batch["text_attention_mask"], cands, cmask,
+        batch["qformer_input_ids"], batch["qformer_attention_mask"]))
+    assert nll.shape == (2, 3)
+    assert np.all(np.isfinite(nll))
+    np.testing.assert_allclose(nll[:, 0], nll[:, 2], rtol=1e-6)
+    # distinct candidates score differently on a random model
+    assert np.all(np.abs(nll[:, 0] - nll[:, 1]) > 1e-6)

@@ -195,3 +195,62 @@ def generate_vicuna(model: Blip2VicunaInstruct, variables, image,
         seqs, _ = greedy_generate(step_with_start, cache, b, gcfg, rng)
         seqs = seqs.at[:, 0].set(start)
     return seqs
+
+
+def predict_class_vicuna(model: Blip2VicunaInstruct, variables, image,
+                         prompt_ids, prompt_mask, candidate_ids,
+                         candidate_mask, qformer_input_ids=None,
+                         qformer_attention_mask=None, vit_mode="masked",
+                         llm_mode="masked", qformer_mode="masked"):
+    """Candidate ranking for the decoder-only composition (reference
+    blip2_vicuna_instruct.predict_class :445-583): per candidate, the
+    LM scores [image prefix ⊕ prompt ⊕ candidate] with the loss masked
+    to candidate positions; returns (b, C) summed NLL (lower = better).
+
+    candidate_ids/mask: (C, L) right-padded.  The image+prompt prefix is
+    shared, so the image encodes once and repeats across candidates.
+    """
+    b = image.shape[0]
+    C, L = candidate_ids.shape
+    P = prompt_ids.shape[1]
+
+    prefix = model.apply(variables, image, vit_mode, qformer_input_ids,
+                         qformer_attention_mask, qformer_mode,
+                         method=Blip2VicunaInstruct.encode_image)
+    nq = prefix.shape[1]
+    prefix_rep = jnp.repeat(prefix, C, axis=0)              # (b*C, nq, d)
+
+    ids = jnp.concatenate([
+        jnp.repeat(prompt_ids, C, axis=0),
+        jnp.tile(candidate_ids, (b, 1)),
+    ], axis=1)                                              # (b*C, P+L)
+    attn = jnp.concatenate([
+        jnp.repeat(prompt_mask, C, axis=0),
+        jnp.tile(candidate_mask, (b, 1)),
+    ], axis=1)
+    labels = jnp.concatenate([
+        jnp.full((b * C, P), -100, jnp.int32),
+        jnp.tile(jnp.where(candidate_mask.astype(bool), candidate_ids,
+                           -100), (b, 1)),
+    ], axis=1)
+
+    llm = LlamaForCausalLM(model.cfg.llm)
+    llm_vars = _subtree(variables, "llm_model")
+    text_embeds = llm.apply(llm_vars, ids, method=llm.embed_tokens)
+    inputs_embeds = jnp.concatenate([prefix_rep, text_embeds], axis=1)
+    full_attn = jnp.concatenate(
+        [jnp.ones((b * C, nq), attn.dtype), attn], axis=1)
+    logits = llm.apply(llm_vars, inputs_embeds=inputs_embeds,
+                       attention_mask=full_attn, mode=llm_mode)
+    full_labels = jnp.concatenate(
+        [jnp.full((b * C, nq), -100, jnp.int32), labels], axis=1)
+
+    import jax
+
+    lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    tgt = full_labels[:, 1:]
+    valid = tgt != -100
+    safe = jnp.where(valid, tgt, 0)
+    ll = jnp.take_along_axis(lp, safe[..., None], axis=-1)[..., 0]
+    nll = -(ll * valid).sum(-1)
+    return nll.reshape(b, C)
