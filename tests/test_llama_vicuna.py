@@ -248,3 +248,34 @@ def test_predict_class_vicuna_ranking_surface():
     np.testing.assert_allclose(nll[:, 0], nll[:, 2], rtol=1e-6)
     # distinct candidates score differently on a random model
     assert np.all(np.abs(nll[:, 0] - nll[:, 1]) > 1e-6)
+
+
+def test_vqa_rank_step_vicuna():
+    """VQATask answer-list ranking drives the decoder-only path too."""
+    from vlm_compression_tpu.compression.pruners.base import FlaxModel
+    from vlm_compression_tpu.datasets.tokenization import SimpleTokenizer
+    from vlm_compression_tpu.models.blip2_vicuna_instruct import (
+        Blip2VicunaInstruct,
+        Blip2VicunaInstructConfig,
+    )
+    from vlm_compression_tpu.tasks.vqa import VQATask
+
+    cfg = Blip2VicunaInstructConfig.tiny()
+    m = Blip2VicunaInstruct(cfg)
+    b = 2
+    batch = dict(image=jnp.ones((b, 28, 28, 3), jnp.float32) * 0.1,
+                 text_input_ids=jnp.ones((b, 6), jnp.int32),
+                 text_attention_mask=jnp.ones((b, 6), jnp.int32),
+                 labels=jnp.ones((b, 6), jnp.int32),
+                 qformer_input_ids=jnp.ones((b, 4), jnp.int32),
+                 qformer_attention_mask=jnp.ones((b, 4), jnp.int32))
+    v = dict(m.init(jax.random.key(0), **batch))
+    task = VQATask(tokenizer=SimpleTokenizer(vocab_size=96), max_len=4)
+    task.answer_list = ["yes", "no", "maybe"]
+    res = task.valid_step(FlaxModel(m, v), {
+        "image": np.ones((b, 28, 28, 3), np.float32),
+        "text_input": ["is it?", "really?"],
+        "question_id": [1, 2],
+    })
+    assert len(res) == 2
+    assert all(r["answer"] in task.answer_list for r in res)

@@ -134,6 +134,7 @@ class VQATask(BaseTask):
     def _rank_step(self, model, samples) -> List[Dict]:
         from vlm_compression_tpu.datasets.tokenization import batch_labels
         from vlm_compression_tpu.models.blip2_t5_instruct import (
+            Blip2T5Instruct,
             predict_class_t5,
         )
 
@@ -141,12 +142,27 @@ class VQATask(BaseTask):
                      else self.prompt + q for q in samples["text_input"]]
         ids, mask = batch_encode(self.tokenizer, questions, 128)
         q_ids, q_mask = batch_encode(self.qformer_tokenizer, questions, 128)
-        cands = batch_labels(self.tokenizer, self.answer_list, self.max_len)
-        nll = predict_class_t5(
-            model.module, model.variables,
-            jnp.asarray(samples["image"], jnp.float32),
-            jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(cands),
-            jnp.asarray(q_ids), jnp.asarray(q_mask))
+        if isinstance(model.module, Blip2T5Instruct):
+            cands = batch_labels(self.tokenizer, self.answer_list,
+                                 self.max_len)
+            nll = predict_class_t5(
+                model.module, model.variables,
+                jnp.asarray(samples["image"], jnp.float32),
+                jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(cands),
+                jnp.asarray(q_ids), jnp.asarray(q_mask))
+        else:
+            from vlm_compression_tpu.models.blip2_vicuna_instruct import (
+                predict_class_vicuna,
+            )
+
+            c_ids, c_mask = batch_encode(self.tokenizer, self.answer_list,
+                                         self.max_len)
+            nll = predict_class_vicuna(
+                model.module, model.variables,
+                jnp.asarray(samples["image"], jnp.float32),
+                jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(c_ids), jnp.asarray(c_mask),
+                jnp.asarray(q_ids), jnp.asarray(q_mask))
         best = np.asarray(jnp.argmin(nll, axis=-1))
         out = []
         for i, b in enumerate(best):
