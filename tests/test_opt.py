@@ -77,3 +77,32 @@ def test_blip2_opt_forward():
                           vit_mode="dense", llm_mode="dense",
                           qformer_mode="dense")
     assert np.isfinite(float(teacher["loss"]))
+
+
+def test_generate_opt_shapes():
+    """BLIP-2-OPT generate (reference blip2_opt.py:171-286 parity
+    surface): greedy and beam decodes over the primed OPT KV cache."""
+    from vlm_compression_tpu.models.blip2_opt import (
+        Blip2OPT,
+        Blip2OPTConfig,
+        generate_opt,
+    )
+    from vlm_compression_tpu.models.generation import GenerationConfig
+
+    cfg = Blip2OPTConfig.tiny()
+    m = Blip2OPT(cfg)
+    b = 2
+    batch = dict(image=jnp.ones((b, 28, 28, 3), jnp.float32) * 0.1,
+                 text_input_ids=jnp.ones((b, 5), jnp.int32),
+                 text_attention_mask=jnp.ones((b, 5), jnp.int32),
+                 labels=jnp.ones((b, 5), jnp.int32))
+    v = dict(m.init(jax.random.key(0), **batch))
+    for beams in (1, 2):
+        seqs = generate_opt(
+            m, v, batch["image"], batch["text_input_ids"],
+            batch["text_attention_mask"],
+            gen_cfg=GenerationConfig(num_beams=beams, max_length=5,
+                                     eos_token_id=2, pad_token_id=1))
+        assert seqs.shape == (2, 5)
+        # the seed column is the real last prompt token
+        assert np.all(np.asarray(seqs)[:, 0] == 1)

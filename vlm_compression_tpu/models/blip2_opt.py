@@ -77,3 +77,59 @@ class Blip2OPT(nn.Module):
                                 attention_mask=attn, mode=llm_mode)
         loss = cross_entropy_loss(logits[:, :-1], full_labels[:, 1:])
         return {"loss": loss, "logits": logits}
+
+
+def generate_opt(model: Blip2OPT, variables, image, prompt_input_ids,
+                 prompt_attention_mask, gen_cfg=None, vit_mode="masked",
+                 llm_mode="masked", qformer_mode="masked", rng=None):
+    """BLIP-2-OPT generate (reference blip2_opt.py:171-286): image
+    prefix + prompt prime the OPT KV cache; the last prompt token seeds
+    the decode loop (same machinery as generate_vicuna — OPT shares the
+    causal-step protocol)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp  # noqa: F811
+
+    from vlm_compression_tpu.models.generation import (
+        GenerationConfig,
+        beam_search,
+        greedy_generate,
+    )
+    from vlm_compression_tpu.models.llama import make_causal_step
+
+    cfg = model.cfg
+    gen_cfg = gen_cfg or GenerationConfig(eos_token_id=2, pad_token_id=1)
+
+    prefix = model.apply(variables, image, vit_mode, qformer_mode,
+                         method=Blip2OPT.encode_image)
+    b, nq, _ = prefix.shape
+    opt = OPTForCausalLM(cfg.opt)
+    opt_vars = {coll: tree["opt_model"] for coll, tree in variables.items()
+                if isinstance(tree, dict) and "opt_model" in tree}
+    prompt_embeds = opt.apply(opt_vars, prompt_input_ids[:, :-1],
+                              method=opt.embed_tokens)
+    prefix_embeds = jnp.concatenate([prefix, prompt_embeds], axis=1)
+    prefix_mask = jnp.concatenate(
+        [jnp.ones((b, nq), jnp.int32),
+         prompt_attention_mask[:, :-1].astype(jnp.int32)], axis=1)
+
+    k = gen_cfg.num_beams
+    if k > 1:
+        prefix_embeds = jnp.repeat(prefix_embeds, k, axis=0)
+        prefix_mask = jnp.repeat(prefix_mask, k, axis=0)
+    step, cache = make_causal_step(opt, opt_vars, prefix_embeds,
+                                   prefix_mask, mode=llm_mode,
+                                   max_decode_len=gen_cfg.max_length)
+    start = prompt_input_ids[:, -1].astype(jnp.int32)
+    start_b = jnp.repeat(start, k, axis=0) if k > 1 else start
+
+    def step_with_start(tokens, c):
+        tok = jnp.where(tokens[:, 0] == -1, start_b, tokens[:, 0])
+        return step(tok[:, None], c)
+
+    gcfg = _dc.replace(gen_cfg, decoder_start_token_id=-1)
+    if k > 1:
+        seqs, _ = beam_search(step_with_start, cache, b, gcfg)
+    else:
+        seqs, _ = greedy_generate(step_with_start, cache, b, gcfg, rng)
+    return seqs.at[:, 0].set(start)
