@@ -106,3 +106,31 @@ def test_generate_opt_shapes():
         assert seqs.shape == (2, 5)
         # the seed column is the real last prompt token
         assert np.all(np.asarray(seqs)[:, 0] == 1)
+
+
+def test_vqa_task_generates_with_opt():
+    from vlm_compression_tpu.compression.pruners.base import FlaxModel
+    from vlm_compression_tpu.datasets.tokenization import SimpleTokenizer
+    from vlm_compression_tpu.models.blip2_opt import (
+        Blip2OPT,
+        Blip2OPTConfig,
+    )
+    from vlm_compression_tpu.tasks.vqa import VQATask
+
+    cfg = Blip2OPTConfig.tiny()
+    m = Blip2OPT(cfg)
+    b = 2
+    batch = dict(image=jnp.ones((b, 28, 28, 3), jnp.float32) * 0.1,
+                 text_input_ids=jnp.ones((b, 5), jnp.int32),
+                 text_attention_mask=jnp.ones((b, 5), jnp.int32),
+                 labels=jnp.ones((b, 5), jnp.int32))
+    v = dict(m.init(jax.random.key(0), **batch))
+    task = VQATask(num_beams=2, max_len=4,
+                   tokenizer=SimpleTokenizer(vocab_size=96),
+                   prompt="Question: {} Short answer:")
+    res = task.valid_step(FlaxModel(m, v), {
+        "image": np.ones((b, 28, 28, 3), np.float32),
+        "text_input": ["what is it?", "who?"],
+        "question_id": [1, 2],
+    })
+    assert len(res) == 2 and all("answer" in r for r in res)

@@ -100,12 +100,26 @@ class VQATask(BaseTask):
             min_length=self.min_len)
         q_ids, q_mask = batch_encode(self.qformer_tokenizer, questions, 128)
 
+        from vlm_compression_tpu.models.blip2_opt import (
+            Blip2OPT,
+            generate_opt,
+        )
+
         if isinstance(model.module, Blip2T5Instruct):
             ids, mask = batch_encode(self.tokenizer, questions, 128)
             seqs = generate_t5(model.module, model.variables, image,
                                jnp.asarray(ids), jnp.asarray(mask),
                                jnp.asarray(q_ids), jnp.asarray(q_mask),
                                gen_cfg=gen_cfg)
+        elif isinstance(model.module, Blip2OPT):
+            ids, mask = batch_encode(self.tokenizer, questions, 128,
+                                     left_pad=True, add_bos=True)
+            gen_cfg = GenerationConfig(
+                num_beams=self.num_beams, max_length=self.max_len + 1,
+                min_length=self.min_len, eos_token_id=2, pad_token_id=1)
+            seqs = generate_opt(model.module, model.variables, image,
+                                jnp.asarray(ids), jnp.asarray(mask),
+                                gen_cfg=gen_cfg)
         else:
             ids, mask = batch_encode(self.tokenizer, questions, 128,
                                      left_pad=True, add_bos=True)
