@@ -34,6 +34,7 @@ import jax.numpy as jnp
 # "pallas_us": float, "xla_us": float}.  A host-local cache file
 # overrides these.
 DEFAULT_DECISIONS: Dict[str, dict] = {
+    # T5-XL prefill
     "2048,2048,2048,bfloat16": {
         "backend": "xla", "tiles": [1024, 256, 1024],
         "pallas_us": 2865.5, "xla_us": 2773.0},
@@ -43,9 +44,26 @@ DEFAULT_DECISIONS: Dict[str, dict] = {
     "2048,5120,2048,bfloat16": {
         "backend": "pallas", "tiles": [1024, 512, 512],
         "pallas_us": 4286.4, "xla_us": 5448.6},
+    # ViT-g prefill (K=1408 class tiles at bk=128)
+    "4096,1408,1408,bfloat16": {
+        "backend": "pallas", "tiles": [1024, 128, 128],
+        "pallas_us": 3524.8, "xla_us": 3601.1},
+    "4096,1408,6144,bfloat16": {
+        "backend": "xla", "tiles": [1024, 512, 128],
+        "pallas_us": 4128.1, "xla_us": 3743.5},
     "4096,6144,1408,bfloat16": {
         "backend": "pallas", "tiles": [512, 128, 1024],
         "pallas_us": 3241.5, "xla_us": 4770.2},
+    # decode steps (batch 16; chained single-program timing)
+    "16,2048,2048,bfloat16": {
+        "backend": "pallas", "tiles": [16, 512, 512],
+        "pallas_us": 332.1, "xla_us": 425.5},
+    "16,2048,5120,bfloat16": {
+        "backend": "xla", "tiles": [16, 512, 512],
+        "pallas_us": 435.8, "xla_us": 373.1},
+    "16,5120,2048,bfloat16": {
+        "backend": "pallas", "tiles": [16, 512, 512],
+        "pallas_us": 409.6, "xla_us": 414.9},
 }
 
 _CACHE: Optional[Dict[str, dict]] = None   # merged view (defaults + tuned)
