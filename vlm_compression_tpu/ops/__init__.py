@@ -24,8 +24,16 @@ from vlm_compression_tpu.ops.masks import (  # noqa: F401
 from vlm_compression_tpu.ops.quant import (  # noqa: F401
     dequantize_params_tree,
     int8_matmul,
+    int8_matmul_dynamic,
+    int8_matmul_outlier,
     quantize_params_tree,
     quantize_weight,
+    set_int8_outliers,
+    use_dynamic_int8,
+)
+from vlm_compression_tpu.ops.autotune import (  # noqa: F401
+    autotune_masked_matmul,
+    tune_masked_matmul,
 )
 from vlm_compression_tpu.ops.sparsegpt import sparsegpt_prune  # noqa: F401
 from vlm_compression_tpu.ops.dsnot import dsnot_refine_mask  # noqa: F401
