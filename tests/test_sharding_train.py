@@ -175,3 +175,51 @@ def test_multislice_mesh_kd_step():
         state2, metrics = step(state, sharded, 1e-3)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
+
+
+def test_fsdp_rules_kd_step_matches_replicated():
+    """FSDP layout (params sharded over the data axis, gathered
+    just-in-time by GSPMD) must produce the same loss as replicated
+    params."""
+    from vlm_compression_tpu.parallel.mesh import FSDP_RULES, data_sharding
+
+    cfg = Blip2T5InstructConfig(
+        vit=EvaViTConfig.tiny(lora_rank=4),
+        qformer=QFormerConfig.tiny(lora_rank=2),
+        t5=T5Config.tiny(lora_rank=8),
+    )
+    model = Blip2T5Instruct(cfg)
+    b = 8
+    batch = dict(
+        image=jnp.ones((b, cfg.vit.img_size, cfg.vit.img_size, 3),
+                       jnp.float32) * 0.1,
+        input_ids=jnp.ones((b, 6), jnp.int32),
+        attention_mask=jnp.ones((b, 6), jnp.int32),
+        labels=jnp.ones((b, 5), jnp.int32),
+        qformer_input_ids=jnp.ones((b, 4), jnp.int32),
+        qformer_attention_mask=jnp.ones((b, 4), jnp.int32),
+    )
+    variables = dict(model.init(
+        jax.random.key(0), **batch, vit_mode="sparse_lora",
+        llm_mode="sparse_lora", qformer_mode="sparse_lora"))
+    tx = make_adamw()
+
+    losses = {}
+    for name, rules in (("replicated", None), ("fsdp", FSDP_RULES)):
+        mesh = make_mesh(MeshConfig(data=4, model=2))
+        with mesh:
+            params = (shard_params(variables["params"], mesh, rules)
+                      if rules else variables["params"])
+            masks = (shard_params(variables["masks"], mesh,
+                                  mask_rules(FSDP_RULES))
+                     if rules else variables["masks"])
+            state = RessaTrainState.create(
+                {"params": params, "masks": masks,
+                 "lora": variables["lora"]}, tx)
+            step = jax.jit(make_kd_train_step(model, tx, kl_weight=0.1,
+                                              T=1.0))
+            sharded = {k: jax.device_put(v, data_sharding(mesh))
+                       for k, v in batch.items()}
+            _, metrics = step(state, sharded, 1e-3)
+            losses[name] = float(metrics["loss"])
+    assert losses["fsdp"] == pytest.approx(losses["replicated"], abs=1e-4)

@@ -99,6 +99,23 @@ DEFAULT_RULES: Sequence[Tuple[str, P]] = (
 
 REPLICATED_RULES: Sequence[Tuple[str, P]] = ((r".*", P()),)
 
+# FSDP/ZeRO-3 layout: every large kernel shards its contraction dim over
+# the DATA axis — GSPMD all-gathers a layer's weights just-in-time and
+# frees them after use, so per-device parameter memory scales 1/data.
+# Composes with the Megatron model axis (a kernel can be ("data","model")
+# sharded); _spec_fits falls anything indivisible back to replication.
+FSDP_RULES: Sequence[Tuple[str, P]] = (
+    (r".*(\bq\b|\bk\b|\bv\b|query|key|value|qkv).*kernel",
+     P("data", "model")),
+    (r".*(\bo\b|out_proj|proj|dense_out|attn_out).*kernel",
+     P(("data", "model"), None)),
+    (r".*(wi_0|wi_1|wi\b|fc1|gate|up_proj).*kernel", P("data", "model")),
+    (r".*(wo\b|fc2|down_proj).*kernel", P(("data", "model"), None)),
+    (r".*kernel", P("data", None)),
+    (r".*embedding", P(("data", "model"), None)),
+    (r".*", P()),
+)
+
 
 def mask_rules(rules: Sequence[Tuple[str, P]] = DEFAULT_RULES):
     """Masks shadow their kernels (same shape, bool) — shard identically so
