@@ -171,3 +171,38 @@ def test_transposable_nm_mask():
         assert ktile[i, j]
         # 2-approx floor: keeps at least n per tile (here >= 4 of 8 slots)
         assert ktile.sum() >= 4
+
+
+def test_hybrid_tile_mask_density_and_saliency():
+    """PATCH-style tile-level hybrid sparsity: overall density hits the
+    target and the most salient tiles stay fully dense."""
+    from vlm_compression_tpu.ops.masks import hybrid_tile_mask, mask_density
+
+    rng = np.random.default_rng(0)
+    metric = np.abs(rng.standard_normal((256, 256))).astype(np.float32)
+    for ts in (0.25, 0.5):
+        msk = hybrid_tile_mask(jnp.asarray(metric), ts, 2, 4, tile=64)
+        assert float(mask_density(msk)) == pytest.approx(1 - ts, abs=0.02)
+    boosted = metric.copy()
+    boosted[:64, :64] *= 100
+    msk = np.asarray(hybrid_tile_mask(jnp.asarray(boosted), 0.25, 2, 4,
+                                      tile=64))
+    assert np.all(msk[:64, :64])          # salient tile fully dense
+    # sparse tiles obey 2:4 along the input dim
+    sparse_rows = msk[-64:, -64:]
+    groups = sparse_rows.reshape(64, 16, 4).sum(-1)
+    assert np.all(groups == 2) or np.all(groups <= 4)
+
+
+def test_hybrid_tile_mask_ragged_dims_and_bounds():
+    from vlm_compression_tpu.ops.masks import hybrid_tile_mask, mask_density
+
+    rng = np.random.default_rng(1)
+    # ragged rows (in-dim stays m-divisible like every real linear)
+    metric = jnp.asarray(np.abs(rng.standard_normal((100, 128))),
+                         jnp.float32)
+    msk = hybrid_tile_mask(metric, 0.3, 2, 4, tile=64)
+    assert msk.shape == (100, 128)
+    assert 0.6 < float(mask_density(msk)) < 0.85
+    with pytest.raises(ValueError):
+        hybrid_tile_mask(metric, 0.6, 2, 4)   # > 1 - n/m

@@ -155,3 +155,43 @@ def transposable_nm_mask(metric: jnp.ndarray, n: int, m: int) -> jnp.ndarray:
     keep_tiles = jax.vmap(one_tile)(order)
     keep = keep_tiles.reshape(units // m, n_in // m, m, m)
     return keep.transpose(0, 2, 1, 3).reshape(units, n_in)
+
+
+def hybrid_tile_mask(metric: jnp.ndarray, target_sparsity: float,
+                     n: int = 2, m: int = 4, tile: int = 64) -> jnp.ndarray:
+    """Tile-level hybrid sparsity (PATCH, arXiv 2509.23410 — beyond the
+    reference): the most salient (tile x tile) weight tiles stay fully
+    DENSE, the rest take an n:m structured mask, with the dense-tile
+    budget chosen so overall sparsity hits ``target_sparsity``.
+
+    Hybrid layouts keep accuracy-critical tiles exact while the sparse
+    tiles still admit the structured-kernel speedups; a tile-granular
+    mask is also exactly what the packed-mask Pallas consumer likes
+    (whole tiles of 1-bits cost nothing to expand).
+
+    metric (units, in) saliency (higher = keep); dims need not divide
+    ``tile`` (edge tiles are smaller, weighted by true element count).
+    Fraction of n:m tiles f solves f·(1 − n/m) = target_sparsity;
+    target_sparsity must be ≤ (1 − n/m).
+    """
+    u, k = metric.shape
+    frac_nm = target_sparsity / (1.0 - n / m)
+    if frac_nm > 1.0 + 1e-6:
+        raise ValueError(
+            f"target {target_sparsity} unreachable with {n}:{m} tiles")
+    tu = -(-u // tile)
+    tk = -(-k // tile)
+    pad_u, pad_k = tu * tile - u, tk * tile - k
+    mp = jnp.pad(metric, ((0, pad_u), (0, pad_k)))
+    tiles = mp.reshape(tu, tile, tk, tile).transpose(0, 2, 1, 3)
+    saliency = jnp.sum(jnp.abs(tiles), axis=(-1, -2)).reshape(-1)
+    n_tiles = tu * tk
+    n_sparse = int(round(frac_nm * n_tiles))
+    # least-salient tiles take the n:m mask
+    rank = _stable_rank_ascending(saliency, axis=0)
+    tile_sparse = rank < n_sparse                       # (tu*tk,)
+    nm = nm_structured_mask(metric, n, m)
+    tile_map = tile_sparse.reshape(tu, tk)
+    elem_sparse = jnp.repeat(jnp.repeat(tile_map, tile, axis=0), tile,
+                             axis=1)[:u, :k]
+    return jnp.where(elem_sparse, nm, True)
