@@ -236,3 +236,49 @@ def test_t5_wanda_24_structured():
     groups = arr.T.reshape(out, inp // 4, 4)   # unit-major groups over inputs
     counts = groups.sum(-1)
     np.testing.assert_array_equal(counts, np.full_like(counts, 2))
+
+
+def test_wanda_hybrid_tile_end_to_end():
+    """--hybrid_tile path: tile-level hybrid masks through the full
+    pruner sweep (dense salient tiles + n:m elsewhere, overall density
+    at the layer target)."""
+    from vlm_compression_tpu.compression import load_pruner
+    from vlm_compression_tpu.compression.pruners.base import FlaxModel
+    from vlm_compression_tpu.models.blip2_t5_instruct import (
+        Blip2T5Instruct,
+        Blip2T5InstructConfig,
+    )
+
+    cfg = Blip2T5InstructConfig.tiny()
+    model = Blip2T5Instruct(cfg)
+    img = cfg.vit.img_size
+    rng = jax.random.key(0)
+    batch = dict(
+        image=jax.random.normal(rng, (4, img, img, 3), jnp.float32),
+        input_ids=jnp.ones((4, 6), jnp.int32),
+        attention_mask=jnp.ones((4, 6), jnp.int32),
+        labels=jnp.ones((4, 4), jnp.int32),
+    )
+    variables = dict(model.init(jax.random.key(1), **batch))
+    # spec ratio is a KEEP ratio: 0.7 keep = 0.3 sparsity < 1 - n/m,
+    # so 60% of tiles take 2:4 and the rest stay dense
+    pruner = load_pruner(
+        "blipt5_wanda_pruner", FlaxModel(model, variables), [batch],
+        t5_prune_spec="2-0.7-1.0-1.0", vit_prune_spec="2-0.7-1.0-1.0",
+        prune_n=2, prune_m=4, hybrid_tile=8, num_samples=4)
+    pruned, _ = pruner.prune(lora_model=True)
+
+    def densities(node, out):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                densities(v, out)
+            elif k == "mask":
+                out.append(float(np.asarray(v).mean()))
+        return out
+
+    ds = [d for d in densities(pruned.variables["masks"], [])
+          if d < 0.999]   # untouched layers stay all-True
+    assert ds, "no pruned masks found"
+    # overall density per pruned layer ~ 1 - 0.3 (hybrid: dense tiles
+    # raise it above the plain 2:4 floor of 0.5)
+    assert all(0.6 <= d <= 0.8 for d in ds), ds

@@ -59,6 +59,10 @@ def parse_args(argv=None):
     p.add_argument("--max_sparsity_per_layer", type=float, default=0.8)
     p.add_argument("--owl_m", type=float, default=5.0,
                    help="OWL outlier threshold for score_method owl_*")
+    p.add_argument("--hybrid_tile", type=int, default=0,
+                   help="with --prune_n/m: PATCH-style tile-level hybrid "
+                        "masks — the most salient (t x t) weight tiles "
+                        "stay dense, the rest take n:m (wanda/ria only)")
     p.add_argument("--sparsity_dict", default=None)
     p.add_argument("--t5_model_prefix", default="t5_model")
     p.add_argument("--vit_model_prefix", default="visual_encoder")
@@ -214,6 +218,7 @@ def main(argv=None):
             num_noise=args.num_noise, noise_eps=args.noise_eps,
             max_sparsity_per_layer=args.max_sparsity_per_layer,
             owl_m=args.owl_m,
+            hybrid_tile=args.hybrid_tile,
             sparsity_dict=sparsity_dict_loaded,
             t5_model_prefix=args.t5_model_prefix,
             vit_model_prefix=args.vit_model_prefix,

@@ -26,13 +26,15 @@ from vlm_compression_tpu.ops.stats import finalize_hessian
 
 def wanda_mask_fn(prune_n: int = 0, prune_m: int = 0,
                   flat_threshold: bool = False, metric: str = "wanda",
-                  ria_alpha: float = 0.5):
+                  ria_alpha: float = 0.5, hybrid_tile: int = 0):
     """Wanda |W|·sqrt(E‖X‖²).  flat_threshold=True selects the per-tensor
     value-threshold variant used for the ViT (wanda_pruner.py:682-684);
     False the per-unit top-k used for language towers (:330-337).
     metric="ria" swaps in the RIA importance (beyond-reference; same
-    statistics, same sweep)."""
-    from vlm_compression_tpu.ops.masks import ria_metric
+    statistics, same sweep).  hybrid_tile > 0 with n:m set selects
+    PATCH-style tile-level hybrid masks (salient tiles dense, the rest
+    n:m, hitting the layer's target sparsity overall)."""
+    from vlm_compression_tpu.ops.masks import hybrid_tile_mask, ria_metric
 
     @functools.partial(jax.jit, static_argnames=("sparsity",))
     def one(kernel, scaler_row, sparsity):
@@ -40,7 +42,10 @@ def wanda_mask_fn(prune_n: int = 0, prune_m: int = 0,
             met = ria_metric(kernel.T, scaler_row, alpha=ria_alpha)
         else:
             met = wanda_metric(kernel.T, scaler_row)
-        if prune_n > 0:
+        if prune_n > 0 and hybrid_tile > 0:
+            keep = hybrid_tile_mask(met, float(sparsity), prune_n,
+                                    prune_m, tile=hybrid_tile)
+        elif prune_n > 0:
             keep = nm_structured_mask(met, prune_n, prune_m)
         elif flat_threshold:
             keep = flat_threshold_mask(met, sparsity)

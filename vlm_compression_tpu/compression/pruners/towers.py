@@ -70,13 +70,17 @@ class _MethodMixin:
 
     # RIA knob (beyond-reference method; masks.ria_metric)
     ria_alpha: float = 0.5
+    # PATCH-style hybrid tiles (beyond-reference): with n:m set, tile
+    # size for salient-tiles-stay-dense masks (0 = plain n:m)
+    hybrid_tile: int = 0
 
     def _build_mask_fn(self, lora_model: bool, tower: str = "llm"):
         if self.method in ("wanda", "ria"):
             return M.wanda_mask_fn(self.prune_n, self.prune_m,
                                    flat_threshold=(tower == "vit"),
                                    metric=self.method,
-                                   ria_alpha=self.ria_alpha)
+                                   ria_alpha=self.ria_alpha,
+                                   hybrid_tile=self.hybrid_tile)
         if self.method == "sparsegpt":
             return M.sparsegpt_mask_fn(self.prune_n, self.prune_m,
                                        self.blocksize, self.percdamp)
