@@ -71,6 +71,11 @@ def parse_args(argv=None):
                    help="with --quantize_int8: also quantize activations "
                         "per-row at runtime (int8xint8 on the MXU, "
                         "measured 7.8x faster than bf16 at 2048^3)")
+    p.add_argument("--autotune", action="store_true",
+                   help="tune the masked-matmul dispatch for this "
+                        "host's chip before evaluating (per-shape "
+                        "XLA-vs-Pallas decisions, cached at "
+                        "~/.cache/vct/autotune.json)")
     p.add_argument("--int8_outliers", type=int, default=0,
                    help="with --w8a8: keep the k highest-magnitude "
                         "activation feature columns in float (LLM.int8 "
@@ -267,6 +272,16 @@ def main(argv=None):
             " + W8A8 dynamic activations" if args.w8a8 else "",
             f" + {args.int8_outliers} outlier columns"
             if args.w8a8 and args.int8_outliers else "")
+
+    if args.autotune:
+        import jax as _jax
+
+        from vlm_compression_tpu.ops.autotune import autotune_masked_matmul
+
+        if _jax.default_backend() == "tpu":
+            autotune_masked_matmul(verbose=False)
+        else:
+            logging.info("--autotune skipped: not on a TPU backend")
 
     results = runner.evaluate(skip_reload=True)
     stats["eval_results"] = results
