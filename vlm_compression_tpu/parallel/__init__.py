@@ -4,3 +4,10 @@ from vlm_compression_tpu.parallel.mesh import (  # noqa: F401
     shard_params,
     param_partition_spec,
 )
+from vlm_compression_tpu.parallel.pipeline import (  # noqa: F401
+    make_pipeline_fn,
+    pipeline_apply,
+    shard_stages,
+    split_stages,
+    stack_layer_params,
+)

@@ -28,6 +28,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 class MeshConfig:
     data: int = -1  # -1 = all remaining devices
     model: int = 1
+    # pipeline stages (parallel/pipeline.py GPipe engine); 1 = no pipe
+    # axis.  The pipe axis leads so stage hops ride the slowest-varying
+    # ICI dimension while the model axis's per-layer collectives stay on
+    # the fastest.
+    pipe: int = 1
     # multi-slice: replicate data-parallelism over DCN-connected slices
     # while model parallelism stays inside a slice (ICI).  0 = single
     # mesh over whatever devices exist (the default, and the only option
@@ -35,9 +40,12 @@ class MeshConfig:
     dcn_data: int = 0
 
     def axis_names(self) -> Tuple[str, ...]:
+        names: Tuple[str, ...] = ("data", "model")
+        if self.pipe > 1:
+            names = ("pipe",) + names
         if self.dcn_data > 1:
-            return ("replica", "data", "model")
-        return ("data", "model")
+            names = ("replica",) + names
+        return names
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
@@ -53,14 +61,15 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     model = max(1, cfg.model)
+    pipe = max(1, cfg.pipe)
     if cfg.dcn_data and cfg.dcn_data > 1:
         per_slice = n // cfg.dcn_data
-        data = cfg.data if cfg.data > 0 else per_slice // model
-        if cfg.dcn_data * data * model != n:
+        data = cfg.data if cfg.data > 0 else per_slice // (model * pipe)
+        if cfg.dcn_data * pipe * data * model != n:
             raise ValueError(
-                f"mesh {cfg.dcn_data}x{data}x{model} != {n} devices")
-        if all(getattr(d, "slice_index", None) is not None
-               for d in devices):
+                f"mesh {cfg.dcn_data}x{pipe}x{data}x{model} != {n} devices")
+        if pipe == 1 and all(getattr(d, "slice_index", None) is not None
+                             for d in devices):
             from jax.experimental import mesh_utils
 
             arr = mesh_utils.create_hybrid_device_mesh(
@@ -68,11 +77,18 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
             arr = np.moveaxis(
                 arr.reshape(cfg.dcn_data, data, model), 0, 0)
         else:
-            arr = np.asarray(devices).reshape(cfg.dcn_data, data, model)
-        return Mesh(arr, ("replica", "data", "model"))
-    data = cfg.data if cfg.data > 0 else n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
+            arr = np.asarray(devices).reshape(
+                (cfg.dcn_data,) + ((pipe,) if pipe > 1 else ())
+                + (data, model))
+        names = (("replica", "pipe", "data", "model") if pipe > 1
+                 else ("replica", "data", "model"))
+        return Mesh(arr, names)
+    data = cfg.data if cfg.data > 0 else n // (model * pipe)
+    if pipe * data * model != n:
+        raise ValueError(f"mesh {pipe}x{data}x{model} != {n} devices")
+    if pipe > 1:
+        arr = np.asarray(devices).reshape(pipe, data, model)
+        return Mesh(arr, ("pipe", "data", "model"))
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
