@@ -91,3 +91,50 @@ def test_3d_batch_shapes():
     want = masked_matmul_ref(x3, w, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
     assert got.shape == (2, 4, 8)
+
+
+def test_sparse_lora_grads_match_ref_autodiff():
+    """custom_vjp backward == jax.grad through the XLA reference."""
+    from vlm_compression_tpu.ops.masked_linear import sparse_lora_matmul_ref
+
+    x, w, mask, a, b = _data(seed=3)
+    scale = 1.25
+
+    def loss(x, w, a, b):
+        return jnp.sum(sparse_lora_matmul(x, w, mask, a, b, scale) ** 2)
+
+    def loss_ref(x, w, a, b):
+        return jnp.sum(sparse_lora_matmul_ref(x, w, mask, a, b, scale) ** 2)
+
+    got = jax.grad(loss, argnums=(0, 1, 2, 3))(x, w, a, b)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, a, b)
+    for g, r in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+    # base-weight gradient never leaks into pruned entries
+    assert np.all(np.asarray(got[1])[~np.asarray(mask)] == 0)
+
+
+def test_sparse_lora_pallas_kernel_interpret():
+    """The fused (W + s·A·B)⊙M kernel, interpreter mode on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vlm_compression_tpu.ops.masked_linear import (
+        _sparse_lora_pallas,
+        sparse_lora_matmul_ref,
+    )
+
+    rng = np.random.default_rng(7)
+    m, k, n, r = 8, 128, 128, 4
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+    mask = jnp.asarray(rng.random((k, n)) > 0.4)
+    a = jnp.asarray(rng.standard_normal((k, r)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((r, n)), jnp.float32)
+    scale = 0.5
+    with pltpu.force_tpu_interpret_mode():
+        got = _sparse_lora_pallas(x, w, mask, a, b, scale)
+    assert got is not None
+    want = sparse_lora_matmul_ref(x, w, mask, a, b, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -98,6 +98,10 @@ def parse_args(argv=None):
     p.add_argument("--model_size", default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny towers (tests / smoke runs)")
+    p.add_argument("--autotune", action="store_true",
+                   help="tune the masked-matmul AND fused sparse-LoRA "
+                        "dispatch on-chip before retraining (cached at "
+                        "~/.cache/vct/autotune.json)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -240,6 +244,20 @@ def main(argv=None):
         logging.info("prune done in %.1fs", stats["prune_seconds"])
 
     if args.train:
+        if args.autotune:
+            import jax as _jax
+
+            if _jax.default_backend() == "tpu":
+                from vlm_compression_tpu.ops.autotune import (
+                    autotune_masked_matmul,
+                    autotune_sparse_lora,
+                )
+
+                autotune_masked_matmul(verbose=False)
+                # the SparseLoRA forward is the hot op during KD retraining
+                autotune_sparse_lora(verbose=False)
+            else:
+                logging.info("--autotune skipped: not on a TPU backend")
         t0 = time.perf_counter()
         with timer.phase("retrain"):
             runner._train_state = None  # rebuild on (possibly pruned) model

@@ -64,6 +64,29 @@ DEFAULT_DECISIONS: Dict[str, dict] = {
     "16,5120,2048,bfloat16": {
         "backend": "pallas", "tiles": [16, 512, 512],
         "pallas_us": 409.6, "xla_us": 414.9},
+    # fused sparse-LoRA (y = x·((W + s·A·B)⊙M)) — XLA wins every XL
+    # training/prefill class: its fusion folds the rank-r merge into the
+    # dot's operand read, so the Pallas kernel's per-tile merge buys
+    # nothing (measured solo + load-free, see BENCH_NOTES).  Decisions
+    # shipped anyway so other shapes/chips can flip per-shape.
+    "lora:2048,2048,2048,bfloat16": {
+        "backend": "xla", "tiles": [1024, 512, 256],
+        "pallas_us": 691.0, "xla_us": 624.9},
+    "lora:2048,2048,5120,bfloat16": {
+        "backend": "xla", "tiles": [1024, 512, 256],
+        "pallas_us": 942.3, "xla_us": 835.8},
+    "lora:2048,5120,2048,bfloat16": {
+        "backend": "xla", "tiles": [1024, 512, 256],
+        "pallas_us": 949.3, "xla_us": 792.9},
+    "lora:4096,1408,1408,bfloat16": {
+        "backend": "xla", "tiles": [1024, 128, 128],
+        "pallas_us": 896.2, "xla_us": 617.7},
+    "lora:4096,1408,6144,bfloat16": {
+        "backend": "xla", "tiles": [1024, 512, 128],
+        "pallas_us": 1283.9, "xla_us": 937.7},
+    "lora:4096,6144,1408,bfloat16": {
+        "backend": "xla", "tiles": [1024, 128, 1024],
+        "pallas_us": 1305.1, "xla_us": 1010.4},
 }
 
 _CACHE: Optional[Dict[str, dict]] = None   # merged view (defaults + tuned)
@@ -281,4 +304,116 @@ def autotune_masked_matmul(shapes=None, dtype: str = "bfloat16",
     for m, k, n in (shapes or XL_SHAPES):
         out[_key(m, k, n, dtype)] = tune_masked_matmul(
             m, k, n, dtype, iters=iters, verbose=verbose)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sparse-LoRA fused matmul: y = x @ ((W + s·A·B) ⊙ M).  Separate decision
+# family ("lora:" key prefix): the per-call adapter merge shifts the
+# Pallas/XLA crossover away from the plain masked decisions (measured:
+# T5 wi flips to Pallas 2.6×, ViT fc2 flips back to XLA).
+# ---------------------------------------------------------------------------
+
+
+def _lora_key(m: int, k: int, n: int, dtype: str) -> str:
+    return "lora:" + _key(m, k, n, dtype)
+
+
+def lookup_sparse_lora(m: int, k: int, n: int, dtype: str) -> Optional[dict]:
+    return _load_cache().get(_lora_key(m, k, n, dtype))
+
+
+def time_call_chained_lora(fn, x, w, mask, a, b, iters: int = 48) -> float:
+    """Chained timing for the fused-LoRA op.  x, W and A are all perturbed
+    by the carry each iteration: the (W + s·A·B)⊙M merge happens once per
+    forward call in real use (weights change every optimizer step), so it
+    must stay inside the measured region — with loop-invariant weights XLA
+    hoists the merge out of the fori_loop and the comparison is fiction."""
+
+    def chained(x, w, mask, a, b):
+        def body(_, acc):
+            xi = (x.astype(jnp.float32) + acc).astype(x.dtype)
+            wi = (w.astype(jnp.float32) + acc).astype(w.dtype)
+            ai = (a.astype(jnp.float32) + acc).astype(a.dtype)
+            y = fn(xi, wi, mask, ai, b)
+            return acc * 0.5 + y[0, :1].astype(jnp.float32) * 1e-38
+
+        return jax.lax.fori_loop(0, iters, body,
+                                 jnp.zeros((1,), jnp.float32))
+
+    f = jax.jit(chained)
+    _sync(f(x, w, mask, a, b))
+    t0 = time.perf_counter()
+    _sync(f(x, w, mask, a, b))
+    return (time.perf_counter() - t0) / iters
+
+
+def tune_sparse_lora_matmul(m: int, k: int, n: int, r: int = 8,
+                            dtype: str = "bfloat16", iters: int = 48,
+                            verbose: bool = False) -> dict:
+    """Measure XLA vs Pallas tile candidates for the fused-LoRA op at one
+    shape; record and return the decision.  The decision is keyed on
+    (m, k, n, dtype) only — rank-r work is negligible next to the main
+    contraction for any practical r (reference uses 2-32)."""
+    from vlm_compression_tpu.ops import masked_linear as ml
+
+    cache = _load_cache()
+    key = _lora_key(m, k, n, dtype)
+    if key in cache:
+        return cache[key]
+    if jax.default_backend() != "tpu":
+        return {"backend": "xla", "tiles": None,
+                "pallas_us": None, "xla_us": None}
+
+    jdt = jnp.dtype(dtype)
+    kx, kw, km, ka, kb = jax.random.split(jax.random.key(0), 5)
+    x = jax.random.normal(kx, (m, k), jnp.float32).astype(jdt)
+    w = jax.random.normal(kw, (k, n), jnp.float32).astype(jdt)
+    mask = jax.random.bernoulli(km, 0.5, (k, n))
+    a = (jax.random.normal(ka, (k, r), jnp.float32) * 0.05).astype(jdt)
+    b = (jax.random.normal(kb, (r, n), jnp.float32) * 0.05).astype(jdt)
+    scale = 2.0
+
+    def measure(fn):
+        return time_call_chained_lora(fn, x, w, mask, a, b, iters=iters)
+
+    t_xla = measure(lambda x_, w_, m_, a_, b_:
+                    ml.sparse_lora_matmul_ref(x_, w_, m_, a_, b_, scale))
+
+    best_tiles, t_pallas = None, float("inf")
+    for tiles in _tile_candidates(m, k, n):
+        try:
+            t = measure(lambda x_, w_, m_, a_, b_, tt=tiles:
+                        ml._sparse_lora_pallas(x_, w_, m_, a_, b_, scale, tt))
+        except Exception:
+            continue
+        if verbose:
+            print(f"  tiles {tiles}: {t * 1e6:.0f} us")
+        if t < t_pallas:
+            best_tiles, t_pallas = tiles, t
+
+    decision = {
+        "backend": ("pallas" if t_pallas < t_xla else "xla"),
+        "tiles": list(best_tiles) if best_tiles else None,
+        "pallas_us": round(t_pallas * 1e6, 1) if best_tiles else None,
+        "xla_us": round(t_xla * 1e6, 1),
+    }
+    cache[key] = decision
+    _TUNED[key] = decision
+    _save_cache()
+    if verbose:
+        print(f"{key}: {decision}")
+    return decision
+
+
+def autotune_sparse_lora(shapes=None, r: int = 8, dtype: str = "bfloat16",
+                         iters: int = 48, verbose: bool = True) -> dict:
+    """Tune the fused sparse-LoRA dispatch (default: the XL training/
+    prefill shape classes — decode uses the merged weights, so the skinny
+    m=16 classes are skipped unless passed explicitly)."""
+    out = {}
+    default = [s for s in XL_SHAPES if s[0] > 128]
+    for m, k, n in (shapes or default):
+        out[_lora_key(m, k, n, dtype)] = tune_sparse_lora_matmul(
+            m, k, n, r=r, dtype=dtype, iters=iters, verbose=verbose)
     return out

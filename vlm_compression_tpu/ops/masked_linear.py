@@ -296,22 +296,134 @@ masked_matmul_packed.defvjp(_masked_matmul_packed_fwd,
                             _masked_matmul_packed_bwd)
 
 
-def sparse_lora_matmul(x, w, mask, lora_a, lora_b, scale):
-    """y = x @ ((w + a·b·scale) ⊙ mask).
+# ---------------------------------------------------------------------------
+# Fused sparse-LoRA kernel: y = x @ ((W + s·A·B) ⊙ M).
+# The masked merged weight is never materialized in HBM: each (bk, bn)
+# W-tile is combined with its rank-r delta (a (bk,r)·(r,bn) matmul — tiny
+# next to the main contraction) and masked in VMEM, then fed to the MXU.
+# The XLA reference path instead writes the full (W + AB)⊙M to HBM every
+# forward (reference peft/tuners/lora.py:359-382 semantics).
+# ---------------------------------------------------------------------------
 
-    The effective-weight construction is rank-r work; we fold the low-rank
-    delta into the masked product as two extra skinny matmuls instead of
-    materializing (W + AB)⊙M:
-        y = x·(W⊙M) + ((x·A)·B) ⊙-projected-through-M
-    The second term needs the mask applied to AB before the product with x,
-    which is *not* low-rank; so for the fused path we only avoid the HBM
-    write by computing x·(ΔW⊙M) with the same Pallas kernel on a
-    device-generated ΔW tile.  Current implementation: XLA fuses the add —
-    measured competitive; revisit with a dedicated kernel when profiling
-    shows it hot (masks are frozen during retraining so the merged path is
-    what inference uses anyway).
+
+def _mm_lora_kernel(scale, x_ref, w_ref, m_ref, a_ref, b_ref, o_ref, acc_ref):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    delta = jnp.dot(a_ref[:].astype(jnp.float32),
+                    b_ref[:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    eff = w_ref[:].astype(jnp.float32) + scale * delta
+    # fp32 merge then cast — bit-identical to sparse_lora_matmul_ref
+    eff = jnp.where(m_ref[:], eff, 0.0).astype(w_ref.dtype)
+    acc_ref[:] += jnp.dot(x_ref[:], eff, preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _sparse_lora_pallas(x2, w, mask, lora_a, lora_b, scale, tiles=None):
+    m, k = x2.shape
+    k2, n = w.shape
+    r = lora_a.shape[1]
+    if r > 128:  # rank tile rides along un-blocked; keep it one lane-tile
+        return None
+    if tiles is not None:
+        bm, bn, bk = tiles
+        if m % bm or n % bn or k % bk:
+            return None
+    else:
+        bm = _pick(m, (1024, 512, 256, 128, 64, 32, 16, 8))
+        bn = _pick(n, (512, 256, 128))
+        bk = _pick(k, (512, 1024, 256, 128))
+        if bm is None or bn is None or bk is None:
+            return None
+    grid = (m // bm, n // bn, k // bk)
+    try:
+        return pl.pallas_call(
+            functools.partial(_mm_lora_kernel, float(scale)),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, l: (i, l)),
+                pl.BlockSpec((bk, bn), lambda i, j, l: (l, j)),
+                pl.BlockSpec((bk, bn), lambda i, j, l: (l, j)),
+                pl.BlockSpec((bk, r), lambda i, j, l: (l, 0)),
+                pl.BlockSpec((r, bn), lambda i, j, l: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, l: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((m, n), x2.dtype),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(x2, w, mask, lora_a, lora_b)
+    except Exception:  # unsupported layout → XLA reference
+        return None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def sparse_lora_matmul(x, w, mask, lora_a, lora_b, scale):
+    """y = x @ ((w + a·b·scale) ⊙ mask), merged weight never hits HBM.
+
+    Dispatch mirrors :func:`masked_matmul` but consults the op's OWN
+    decision family (``ops/autotune.py`` ``"lora:"`` keys — the per-call
+    adapter merge shifts the Pallas/XLA crossover away from the plain
+    masked decisions); unknown shapes and non-TPU backends use the XLA
+    reference.  ``scale`` is a static float (``lora_alpha / r``).
     """
-    return sparse_lora_matmul_ref(x, w, mask, lora_a, lora_b, scale)
+    return _sparse_lora_fwd_impl(x, w, mask, lora_a, lora_b, scale)
+
+
+def _sparse_lora_fwd_impl(x, w, mask, lora_a, lora_b, scale):
+    if _USE_PALLAS is False or jax.default_backend() != "tpu":
+        return sparse_lora_matmul_ref(x, w, mask, lora_a, lora_b, scale)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    tiles = None
+    if _USE_PALLAS == "auto":
+        from vlm_compression_tpu.ops.autotune import lookup_sparse_lora
+
+        dec = lookup_sparse_lora(x2.shape[0], w.shape[0], w.shape[1],
+                                 str(x.dtype))
+        if dec is None or dec["backend"] != "pallas":
+            return sparse_lora_matmul_ref(x, w, mask, lora_a, lora_b, scale)
+        tiles = tuple(dec["tiles"])
+    out = _sparse_lora_pallas(x2, w, mask, lora_a, lora_b, scale, tiles)
+    if out is None:
+        return sparse_lora_matmul_ref(x, w, mask, lora_a, lora_b, scale)
+    return out.reshape(*lead, w.shape[1])
+
+
+def _sparse_lora_fwd(x, w, mask, lora_a, lora_b, scale):
+    return (_sparse_lora_fwd_impl(x, w, mask, lora_a, lora_b, scale),
+            (x, w, mask, lora_a, lora_b))
+
+
+def _sparse_lora_bwd(scale, res, g):
+    x, w, mask, lora_a, lora_b = res
+    # E = (W + s·A·B) ⊙ M;  dx = g Eᵀ;  Gm = M ⊙ (xᵀ g);
+    # dW = Gm;  dA = s · Gm Bᵀ;  dB = s · Aᵀ Gm
+    delta = jnp.dot(lora_a.astype(jnp.float32), lora_b.astype(jnp.float32))
+    eff = jnp.where(mask, w.astype(jnp.float32) + scale * delta, 0.0)
+    dx = jax.lax.dot_general(
+        g, eff.astype(w.dtype), (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    x2 = x.reshape(-1, x.shape[-1])
+    g2 = g.reshape(-1, g.shape[-1])
+    gm = jax.lax.dot_general(
+        x2, g2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gm = jnp.where(mask, gm, 0.0)
+    da = (scale * jnp.dot(gm, lora_b.astype(jnp.float32).T)
+          ).astype(lora_a.dtype)
+    db = (scale * jnp.dot(lora_a.astype(jnp.float32).T, gm)
+          ).astype(lora_b.dtype)
+    return dx, gm.astype(w.dtype), None, da, db
+
+
+sparse_lora_matmul.defvjp(_sparse_lora_fwd, _sparse_lora_bwd)
 
 
 def merge_sparse_lora(w, mask, lora_a, lora_b, scale, sparse: bool = True):
