@@ -157,3 +157,15 @@ def test_evaluate_cli_w8a8_outliers(workdir):
     finally:
         Q.use_dynamic_int8(False)
         Q.set_int8_outliers(0)
+
+
+def test_evaluate_cli_int4(workdir):
+    from vlm_compression_tpu.cli.evaluate import main
+
+    root, cfg_path = workdir
+    # tiny tower dims are small: shrink the scale group so kernels qualify
+    stats = main([
+        "--cfg-path", cfg_path, "--job_id", "evq4", "--tiny",
+        "--quantize_int4", "--int4_group", "8",
+    ])
+    assert "val" in stats["eval_results"]

@@ -220,3 +220,118 @@ def test_select_int8_matmul_dispatch():
     finally:
         Q.use_dynamic_int8(False)
         Q.set_int8_outliers(0)
+
+
+# ---------------------------------------------------------------------------
+# int4 (grouped, nibble-packed)
+# ---------------------------------------------------------------------------
+
+
+def test_int4_pack_unpack_roundtrip():
+    from vlm_compression_tpu.ops.quant import (
+        quantize_weight_int4,
+        unpack_int4,
+    )
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((256, 32)).astype(np.float32))
+    packed, scale = quantize_weight_int4(w, group=128)
+    assert packed.dtype == jnp.uint8 and packed.shape == (128, 32)
+    assert scale.shape == (2, 32)
+    q = np.asarray(unpack_int4(packed))
+    assert q.min() >= -7 and q.max() <= 7
+    # every nibble value decodes back to its original signed int
+    direct = np.clip(np.round(np.asarray(w).reshape(2, 128, 32)
+                              / np.asarray(scale)[:, None, :]), -7, 7)
+    np.testing.assert_array_equal(q, direct.reshape(256, 32))
+
+
+def test_int4_quantization_error_bounded():
+    from vlm_compression_tpu.ops.quant import (
+        dequantize_weight_int4,
+        quantize_weight_int4,
+    )
+
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((256, 16)).astype(np.float32))
+    packed, scale = quantize_weight_int4(w)
+    back = np.asarray(dequantize_weight_int4(packed, scale))
+    # per-group absmax/7 → max error is half a quantization step
+    step = np.repeat(np.asarray(scale), 128, axis=0)
+    assert np.all(np.abs(back - np.asarray(w)) <= 0.5 * step + 1e-6)
+
+
+def test_int4_matmul_matches_dequant():
+    from vlm_compression_tpu.ops.bitmask import pack_mask
+    from vlm_compression_tpu.ops.quant import (
+        dequantize_weight_int4,
+        int4_matmul,
+        quantize_weight_int4,
+    )
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((256, 64)).astype(np.float32))
+    packed, scale = quantize_weight_int4(w)
+    deq = dequantize_weight_int4(packed, scale)
+    mask = jnp.asarray(rng.random((256, 64)) < 0.5)
+
+    got = int4_matmul(x, packed, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x @ deq),
+                               rtol=1e-5, atol=1e-5)
+    got_m = int4_matmul(x, packed, scale, mask)
+    want_m = x @ jnp.where(mask, deq, 0.0)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               rtol=1e-5, atol=1e-5)
+    # 2-bit packed mask composes
+    got_p = int4_matmul(x, packed, scale, pack_mask(mask))
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_m),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sparse_linear_int4_forward():
+    from vlm_compression_tpu.models.layers import SparseLinear
+    from vlm_compression_tpu.ops.quant import (
+        dequantize_weight_int4,
+        quantize_params_tree_int4,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 128)).astype(np.float32))
+    layer = SparseLinear(32)
+    variables = dict(layer.init({"params": jax.random.key(0)}, x))
+    mask = jnp.asarray(rng.random((128, 32)) < 0.5)
+    variables["masks"] = {"mask": mask}
+
+    qp = quantize_params_tree_int4(variables["params"])
+    assert "kernel" not in qp and "kernel_q4" in qp
+    qvars = dict(variables, params=qp)
+    dvars = dict(variables)
+    dvars["params"] = dict(variables["params"],
+                           kernel=dequantize_weight_int4(
+                               qp["kernel_q4"], qp["kernel_scale"]))
+
+    for mode in ("dense", "masked"):
+        got = layer.apply(qvars, x, mode=mode)
+        want = layer.apply(dvars, x, mode=mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_sparse_linear_int4_lora_dequantizes():
+    from vlm_compression_tpu.models.layers import SparseLinear
+    from vlm_compression_tpu.ops.quant import quantize_params_tree_int4
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 128)).astype(np.float32))
+    layer = SparseLinear(32, lora_rank=4)
+    variables = dict(layer.init({"params": jax.random.key(0)}, x,
+                                mode="sparse_lora"))
+    variables["masks"] = {"mask": jnp.asarray(rng.random((128, 32)) < 0.5)}
+    qvars = dict(variables,
+                 params=quantize_params_tree_int4(variables["params"]))
+    # B=0 at init → sparse_lora == masked on the dequantized weight
+    got = layer.apply(qvars, x, mode="sparse_lora")
+    want = layer.apply(qvars, x, mode="masked")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

@@ -81,6 +81,12 @@ def parse_args(argv=None):
                         "activation feature columns in float (LLM.int8 "
                         "outlier decomposition, static-k TPU variant; "
                         "try 16-64 for towers with emergent outliers)")
+    p.add_argument("--quantize_int4", action="store_true",
+                   help="grouped absmax int4 weights (nibble-packed, "
+                        "4 bits/weight at rest — beyond-reference; "
+                        "mutually exclusive with --quantize_int8)")
+    p.add_argument("--int4_group", type=int, default=128,
+                   help="input rows per int4 scale group")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--model_size", default=None)
     p.add_argument("--seed", type=int, default=42)
@@ -272,6 +278,19 @@ def main(argv=None):
             " + W8A8 dynamic activations" if args.w8a8 else "",
             f" + {args.int8_outliers} outlier columns"
             if args.w8a8 and args.int8_outliers else "")
+
+    if args.quantize_int4:
+        if args.quantize_int8:
+            raise SystemExit("--quantize_int4 and --quantize_int8 are "
+                             "mutually exclusive")
+        from vlm_compression_tpu.ops.quant import quantize_params_tree_int4
+
+        v = dict(runner.model.variables)
+        v["params"] = quantize_params_tree_int4(v["params"],
+                                                group=args.int4_group)
+        runner.model.variables = v
+        logging.info("weights quantized to int4 (group=%d, nibble-packed)",
+                     args.int4_group)
 
     if args.autotune:
         import jax as _jax

@@ -54,9 +54,15 @@ class SparseLinear(nn.Module):
         if mode not in _MODES:
             raise ValueError(f"mode {mode!r} not in {_MODES}")
         in_features = x.shape[-1]
-        kernel = self.param(
-            "kernel", self.kernel_init, (in_features, self.features),
-            self.param_dtype)
+        # int4 nibble-packed kernel (ops/quant.quantize_params_tree_int4):
+        # lives under its OWN name — the packed (in/2, out) shape would
+        # fail flax's param-shape validation against the float kernel
+        if self.has_variable("params", "kernel_q4"):
+            kernel = self.get_variable("params", "kernel_q4")
+        else:
+            kernel = self.param(
+                "kernel", self.kernel_init, (in_features, self.features),
+                self.param_dtype)
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,),
                        self.param_dtype)
@@ -76,6 +82,7 @@ class SparseLinear(nn.Module):
         # per-output-channel scale multiplies the OUTPUT; LoRA modes
         # dequantize once since adapters operate in float.
         qscale = None
+        q4scale = None
         if kernel.dtype == jnp.int8:
             qscale = self.get_variable("params", "kernel_scale")
             if self.lora_rank > 0 and mode in (SPARSE_LORA, LORA):
@@ -83,13 +90,28 @@ class SparseLinear(nn.Module):
 
                 kernel = dequantize_weight(kernel, qscale, dtype)
                 qscale = None
-        k = kernel.astype(dtype) if kernel.dtype != jnp.int8 else kernel
+        elif kernel.dtype == jnp.uint8:
+            # nibble-packed int4 (kernel_q4) with grouped 2-D scales
+            q4scale = self.get_variable("params", "kernel_scale")
+            if self.lora_rank > 0 and mode in (SPARSE_LORA, LORA):
+                from vlm_compression_tpu.ops.quant import (
+                    dequantize_weight_int4,
+                )
+
+                kernel = dequantize_weight_int4(kernel, q4scale, dtype)
+                q4scale = None
+        k = (kernel.astype(dtype)
+             if kernel.dtype not in (jnp.int8, jnp.uint8) else kernel)
 
         if mode == DENSE:
             if qscale is not None:
                 from vlm_compression_tpu.ops import quant as Q
 
                 y = Q.select_int8_matmul()(x, kernel, qscale)
+            elif q4scale is not None:
+                from vlm_compression_tpu.ops import quant as Q
+
+                y = Q.int4_matmul(x, kernel, q4scale)
             else:
                 y = x @ k
         else:
@@ -114,6 +136,10 @@ class SparseLinear(nn.Module):
                     from vlm_compression_tpu.ops import quant as Q
 
                     y = Q.select_int8_matmul()(x, kernel, qscale, mask)
+                elif q4scale is not None:
+                    from vlm_compression_tpu.ops import quant as Q
+
+                    y = Q.int4_matmul(x, kernel, q4scale, mask)
                 elif mask is None:
                     y = x @ k
                 elif packed:

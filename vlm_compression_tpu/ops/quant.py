@@ -198,6 +198,102 @@ def dequantize_params_tree(params: dict, dtype=jnp.float32) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Int4 weight-only quantization (beyond-reference; the reference's
+# bitsandbytes era predates 4-bit inference).  Grouped absmax symmetric:
+# each (group input rows × output column) block gets its own scale, which
+# is what keeps 4-bit usable (a single per-column scale clips too hard).
+# Storage is two nibbles per uint8 byte — adjacent input rows 2i / 2i+1
+# share a byte (low/high nibble) — because this build's native S4 dtype
+# does not materialize; 4 bits/weight at rest either way, an 8× reduction
+# vs fp32 and 4× vs bf16 on the HBM weight stream.
+# ---------------------------------------------------------------------------
+
+INT4_GROUP = 128
+
+
+def quantize_weight_int4(w: jnp.ndarray, group: int = INT4_GROUP):
+    """(in, out) float → (packed uint8 (in/2, out), scale f32 (in/g, out)).
+
+    Requires in % group == 0 (all tower linears are 128-multiples).
+    q ∈ [-7, 7]; byte = nibble(row 2i) | nibble(row 2i+1) << 4."""
+    K, N = w.shape
+    if K % group or group % 2:
+        raise ValueError(f"in_features {K} not a multiple of group {group}")
+    wf = w.astype(jnp.float32).reshape(K // group, group, N)
+    a = jnp.max(jnp.abs(wf), axis=1)
+    scale = jnp.maximum(a, 1e-12) / 7.0                     # (K/g, N)
+    q = jnp.clip(jnp.round(wf / scale[:, None, :]), -7, 7)
+    q = q.astype(jnp.int32).reshape(K, N)
+    lo = q[0::2] & 0xF
+    hi = q[1::2] & 0xF
+    return (lo | (hi << 4)).astype(jnp.uint8), scale
+
+
+def unpack_int4(packed: jnp.ndarray, dtype=jnp.int8) -> jnp.ndarray:
+    """(in/2, out) uint8 → (in, out) sign-extended int values."""
+    p = packed.astype(jnp.int32)
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
+    lo = lo - 16 * (lo >= 8)
+    hi = hi - 16 * (hi >= 8)
+    k2, n = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(2 * k2, n).astype(dtype)
+
+
+def dequantize_weight_int4(packed: jnp.ndarray, scale: jnp.ndarray,
+                           dtype=jnp.float32) -> jnp.ndarray:
+    K = 2 * packed.shape[0]
+    g = K // scale.shape[0]
+    q = unpack_int4(packed, jnp.float32).reshape(K // g, g, scale.shape[1])
+    return (q * scale[:, None, :]).reshape(K, -1).astype(dtype)
+
+
+def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
+                mask=None) -> jnp.ndarray:
+    """y = x @ (dequant(packed, scale) [⊙ mask]).
+
+    Grouped scales vary along the CONTRACTED axis, so they cannot be
+    folded into the output like the int8 per-column scale — the weight
+    dequantizes on the way into the dot.  XLA fuses the unpack+scale into
+    the dot's operand read; HBM traffic stays at 4 bits/weight."""
+    K = 2 * packed.shape[0]
+    eff = dequantize_weight_int4(packed, scale, x.dtype)
+    if mask is not None:
+        from vlm_compression_tpu.ops.bitmask import is_packed, unpack_mask
+        from vlm_compression_tpu.ops.masked_linear import infer_pack_group
+
+        if is_packed(mask):
+            mask = unpack_mask(mask, K, infer_pack_group(K, mask.shape[0]))
+        eff = jnp.where(mask, eff, jnp.zeros((), eff.dtype))
+    return jax.lax.dot_general(
+        x, eff, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def quantize_params_tree_int4(params: dict, group: int = INT4_GROUP,
+                              min_size: int = 0) -> dict:
+    """Every 2-D ``kernel`` (≥ min_size elements, in-dim a group multiple)
+    → ``kernel_q4`` (nibble-packed uint8) + 2-D ``kernel_scale``.  The
+    float ``kernel`` entry is REMOVED (SparseLinear detects ``kernel_q4``
+    and skips declaring it)."""
+    if not isinstance(params, dict):
+        return params
+    out = {}
+    for k, v in params.items():
+        out[k] = (quantize_params_tree_int4(v, group, min_size)
+                  if isinstance(v, dict) else v)
+    kern = out.get("kernel")
+    if (kern is not None and getattr(kern, "ndim", 0) == 2
+            and kern.size >= min_size and kern.shape[0] % group == 0
+            and jnp.issubdtype(kern.dtype, jnp.floating)):
+        q, s = quantize_weight_int4(kern, group)
+        del out["kernel"]
+        out["kernel_q4"] = q
+        out["kernel_scale"] = s
+    return out
+
+
 def int8_matmul_dynamic(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
                         mask=None) -> jnp.ndarray:
     """True int8×int8 product: activations quantize per-ROW (absmax
