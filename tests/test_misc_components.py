@@ -208,3 +208,40 @@ def test_aux_tuners():
     v = ba.init(jax.random.key(0), x)
     out = ba.apply(v, x)
     assert out.shape == x.shape
+
+
+def test_model_size_accounting_counts_masked_kernels():
+    import numpy as np
+
+    from vlm_compression_tpu.compression.peft_io import model_size_accounting
+
+    mask = np.zeros((4, 8), bool)
+    mask[:2] = True                      # 16 of 32 kept
+    variables = {
+        "params": {"enc": {"q": {"kernel": np.zeros((4, 8)),
+                                 "bias": np.zeros((8,))},
+                           "ln": {"scale": np.zeros((4,))}}},
+        "masks": {"enc": {"q": {"mask": mask}}},
+    }
+    s = model_size_accounting(variables)
+    assert s["orig_total_size"] == 32 + 8 + 4
+    assert s["distilled_total_size"] == 16 + 8 + 4
+
+
+def test_vqa_task_reports_model_size(tmp_path):
+    import json
+
+    from vlm_compression_tpu.tasks.vqa import VQATask
+
+    task = VQATask()
+    res = [{"question_id": 1, "answer": "blue",
+            "gt_answers": ["blue"] * 10}]
+    (tmp_path / "result").mkdir()
+    metrics = task.after_evaluation(
+        res, split_name="val", result_dir=str(tmp_path / "result"),
+        orig_total_size=4_000_000_000, distilled_total_size=2_000_000_000)
+    assert metrics["orig_size"] == "4.000 B"
+    assert metrics["dist_size"] == "2.000 B"
+    assert metrics["agg_metrics"] == 100.0
+    logged = (tmp_path / "evaluate.txt").read_text()
+    assert "orig_size" in logged and json.loads(logged.splitlines()[-1])

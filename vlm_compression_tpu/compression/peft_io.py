@@ -80,3 +80,51 @@ def remaining_parameter_fraction(variables: dict) -> float:
     if total == 0:
         return 1.0
     return kept / total
+
+
+def model_size_accounting(variables: dict) -> Dict[str, int]:
+    """The reference's model-size report (train.py:365-406,
+    evaluate_new.py:221-289): ``orig_total_size`` = every base parameter
+    (LoRA excluded, matching the pre-``get_peft_model`` count) and
+    ``distilled_total_size`` = parameters that survive pruning — masked
+    kernels contribute their keep-count, everything else its numel.
+
+    Counts come from mask shapes, not a device sweep for zeros, so this
+    is exact under SparseLoRA (where pruned base weights are *masked*,
+    not necessarily stored as zeros) and free of device transfers for
+    all but the masks."""
+    params = variables.get("params", {})
+    masks = variables.get("masks", {})
+
+    flat_masks = {}
+
+    def walk_masks(tree, path):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk_masks(v, path + (k,))
+        else:
+            flat_masks[path] = tree
+
+    walk_masks(masks, ())
+
+    orig = distilled = 0
+
+    def walk(tree, path):
+        nonlocal orig, distilled
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, path + (k,))
+            return
+        n = int(np.prod(tree.shape)) if getattr(tree, "shape", None) else 1
+        orig += n
+        # the masks collection mirrors the params tree with 'mask' in
+        # place of 'kernel'
+        mask = flat_masks.get(path[:-1] + ("mask",)) \
+            if path and path[-1] == "kernel" else None
+        if mask is not None and getattr(mask, "dtype", None) is not None \
+                and str(mask.dtype) == "bool" and mask.shape == tree.shape:
+            distilled += int(np.sum(np.asarray(mask)))
+        else:
+            distilled += n
+    walk(params, ())
+    return {"orig_total_size": orig, "distilled_total_size": distilled}

@@ -315,9 +315,19 @@ class RunnerBase:
         self.task.before_evaluation(model=self.model,
                                     dataset=self.datasets)
         results = self.task.evaluation(self.model, loader)
+        # model-size accounting the reference threads into the metric
+        # report (vqa.py:135-137,163-164; set by train.py:365-406)
+        sizes = {}
+        variables = getattr(self.model, "variables", None)
+        if isinstance(variables, dict) and "params" in variables:
+            from vlm_compression_tpu.compression.peft_io import (
+                model_size_accounting,
+            )
+
+            sizes = model_size_accounting(variables)
         return self.task.after_evaluation(
             val_result=results, split_name=split, epoch="eval",
-            result_dir=os.path.join(self.output_dir, "result"))
+            result_dir=os.path.join(self.output_dir, "result"), **sizes)
 
     # ------------------------------------------------------------------
     # checkpointing (orbax; reference :914-984)

@@ -67,6 +67,12 @@ class MultimodalClassificationTask(BaseTask):
         acc = (100.0 * sum(r["prediction"] == r["label"] for r in scored)
                / max(len(scored), 1))
         metrics = {"agg_metrics": acc, "acc": acc}
+        # model-size accounting (reference multimodal_classification.py:92-93)
+        if "orig_total_size" in kw and "distilled_total_size" in kw:
+            metrics["orig_size"] = \
+                f"{kw['orig_total_size'] / 10 ** 9:.3f} B"
+            metrics["dist_size"] = \
+                f"{kw['distilled_total_size'] / 10 ** 9:.3f} B"
         logging.info("%s classification acc: %.2f", split_name, acc)
         os.makedirs(result_dir, exist_ok=True)
         with open(os.path.join(result_dir, "..", "evaluate.txt"), "a") as fh:

@@ -193,7 +193,19 @@ class VQATask(BaseTask):
         f = self.save_result(val_result, result_dir,
                              f"{split_name}_vqa_result",
                              remove_duplicate="question_id")
+        # reference vqa.py:135-137 stores the runner-computed model-size
+        # accounting for the metric report
+        self._sizes = {k: kw[k] for k in
+                       ("orig_total_size", "distilled_total_size") if k in kw}
         return self._report_metrics(f, split_name, result_dir)
+
+    def _size_metrics(self) -> Dict:
+        s = getattr(self, "_sizes", {})
+        if not s:
+            return {}
+        # reference formatting (vqa.py:163-164): billions, 3 decimals
+        return {"orig_size": f"{s['orig_total_size'] / 10 ** 9:.3f} B",
+                "dist_size": f"{s['distilled_total_size'] / 10 ** 9:.3f} B"}
 
     def _report_metrics(self, result_file, split_name, result_dir):
         with open(result_file) as fh:
@@ -203,7 +215,8 @@ class VQATask(BaseTask):
             return {"agg_metrics": 0.0}
         ev = VQAEval()
         acc = ev.evaluate(scored)
-        metrics = {"agg_metrics": acc["overall"], **acc}
+        metrics = {**self._size_metrics(),
+                   "agg_metrics": acc["overall"], **acc}
         logging.info("%s VQA accuracy: %s", split_name, acc)
         with open(os.path.join(result_dir, "..", "evaluate.txt"), "a") as fh:
             fh.write(json.dumps({split_name: metrics}) + "\n")
@@ -217,7 +230,7 @@ class GQATask(VQATask):
             results = json.load(fh)
         scored = [r for r in results if "gt_answers" in r]
         acc = gqa_exact_match(scored)
-        metrics = {"agg_metrics": acc, "acc": acc}
+        metrics = {**self._size_metrics(), "agg_metrics": acc, "acc": acc}
         logging.info("%s GQA accuracy: %.2f", split_name, acc)
         with open(os.path.join(result_dir, "..", "evaluate.txt"), "a") as fh:
             fh.write(json.dumps({split_name: metrics}) + "\n")
