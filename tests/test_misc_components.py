@@ -245,3 +245,51 @@ def test_vqa_task_reports_model_size(tmp_path):
     assert metrics["agg_metrics"] == 100.0
     logged = (tmp_path / "evaluate.txt").read_text()
     assert "orig_size" in logged and json.loads(logged.splitlines()[-1])
+
+
+def test_model_size_accounting_zeroed_weights_no_masks():
+    """lora_model=False prunes zero weights and skip masks — survivors
+    must come from count_nonzero, not mask shapes."""
+    import numpy as np
+
+    from vlm_compression_tpu.compression.peft_io import model_size_accounting
+
+    k = np.ones((4, 8), np.float32)
+    k[2:] = 0.0                                   # half pruned, no mask
+    s = model_size_accounting({"params": {"q": {"kernel": k}}})
+    assert s["orig_total_size"] == 32
+    assert s["distilled_total_size"] == 16
+
+
+def test_model_size_accounting_packed_masks():
+    import numpy as np
+
+    from vlm_compression_tpu.compression.peft_io import model_size_accounting
+    from vlm_compression_tpu.ops.bitmask import pack_mask
+
+    rng = np.random.default_rng(0)
+    mask = rng.random((128, 8)) < 0.25
+    import jax.numpy as jnp
+
+    variables = {
+        "params": {"q": {"kernel": np.ones((128, 8), np.float32)}},
+        "masks": {"q": {"mask": pack_mask(jnp.asarray(mask))}},
+    }
+    s = model_size_accounting(variables)
+    assert s["orig_total_size"] == 128 * 8
+    assert s["distilled_total_size"] == int(mask.sum())
+
+
+def test_model_size_accounting_int4_kernels():
+    import numpy as np
+
+    from vlm_compression_tpu.compression.peft_io import model_size_accounting
+    from vlm_compression_tpu.ops.quant import quantize_params_tree_int4
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((128, 8)).astype(np.float32)
+    qp = quantize_params_tree_int4({"q": {"kernel": w}})
+    s = model_size_accounting({"params": qp})
+    # kernel_q4 counts its unpacked numel; kernel_scale is excluded
+    assert s["orig_total_size"] == 128 * 8
+    assert 0 < s["distilled_total_size"] <= 128 * 8

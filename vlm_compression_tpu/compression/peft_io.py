@@ -86,13 +86,24 @@ def model_size_accounting(variables: dict) -> Dict[str, int]:
     """The reference's model-size report (train.py:365-406,
     evaluate_new.py:221-289): ``orig_total_size`` = every base parameter
     (LoRA excluded, matching the pre-``get_peft_model`` count) and
-    ``distilled_total_size`` = parameters that survive pruning — masked
-    kernels contribute their keep-count, everything else its numel.
+    ``distilled_total_size`` = parameters that survive pruning.
 
-    Counts come from mask shapes, not a device sweep for zeros, so this
-    is exact under SparseLoRA (where pruned base weights are *masked*,
-    not necessarily stored as zeros) and free of device transfers for
-    all but the masks."""
+    Survivor counting per kernel, mirroring the reference's
+    ``(param != 0).sum()`` over non-lora params:
+
+    * bool mask present → mask keep-count (exact under SparseLoRA, where
+      pruned base weights are masked rather than stored as zeros);
+    * bit-packed (uint32) mask present → unpacked on DEVICE and summed;
+    * no mask (the ``lora_model=False`` prune path physically zeroes
+      weights and skips masks, calibrate.py:302-313; likewise
+      ``--strip_lora_masks`` checkpoint evals) → device count_nonzero;
+    * int4 kernels (``kernel_q4``, nibble-packed) count their unpacked
+      numel / nonzero nibbles; ``kernel_scale`` siblings are auxiliary
+      and excluded (the reference counts the original model's params).
+
+    All reductions run on device; one scalar fetch per kernel."""
+    import jax.numpy as jnp
+
     params = variables.get("params", {})
     masks = variables.get("masks", {})
 
@@ -109,21 +120,47 @@ def model_size_accounting(variables: dict) -> Dict[str, int]:
 
     orig = distilled = 0
 
+    def kernel_rows(leaf, name):
+        if name == "kernel_q4":
+            return 2 * leaf.shape[0]
+        return leaf.shape[0]
+
+    def survivors(leaf, name, mask):
+        from vlm_compression_tpu.ops.bitmask import is_packed, unpack_mask
+        from vlm_compression_tpu.ops.masked_linear import infer_pack_group
+
+        rows = kernel_rows(leaf, name)
+        if mask is not None and is_packed(mask):
+            mask = unpack_mask(mask, rows,
+                               infer_pack_group(rows, mask.shape[0]))
+        if mask is not None and str(mask.dtype) == "bool" \
+                and mask.shape[0] == rows:
+            return int(jnp.sum(mask))
+        if name == "kernel_q4":
+            from vlm_compression_tpu.ops.quant import unpack_int4
+
+            return int(jnp.count_nonzero(unpack_int4(leaf)))
+        if str(leaf.dtype).startswith(("float", "bfloat", "int8")):
+            return int(jnp.count_nonzero(leaf))
+        return int(np.prod(leaf.shape)) if leaf.shape else 1
+
     def walk(tree, path):
         nonlocal orig, distilled
         if isinstance(tree, dict):
             for k, v in tree.items():
                 walk(v, path + (k,))
             return
-        n = int(np.prod(tree.shape)) if getattr(tree, "shape", None) else 1
+        name = path[-1] if path else ""
+        if name == "kernel_scale":
+            return                       # quantization metadata, not params
+        shape = getattr(tree, "shape", None)
+        n = int(np.prod(shape)) if shape else 1
+        if name == "kernel_q4":
+            n *= 2                       # two weights per packed byte
         orig += n
-        # the masks collection mirrors the params tree with 'mask' in
-        # place of 'kernel'
-        mask = flat_masks.get(path[:-1] + ("mask",)) \
-            if path and path[-1] == "kernel" else None
-        if mask is not None and getattr(mask, "dtype", None) is not None \
-                and str(mask.dtype) == "bool" and mask.shape == tree.shape:
-            distilled += int(np.sum(np.asarray(mask)))
+        if name in ("kernel", "kernel_q4") and getattr(tree, "ndim", 0) == 2:
+            mask = flat_masks.get(path[:-1] + ("mask",))
+            distilled += survivors(tree, name, mask)
         else:
             distilled += n
     walk(params, ())

@@ -309,9 +309,11 @@ def autotune_masked_matmul(shapes=None, dtype: str = "bfloat16",
 
 # ---------------------------------------------------------------------------
 # sparse-LoRA fused matmul: y = x @ ((W + s·A·B) ⊙ M).  Separate decision
-# family ("lora:" key prefix): the per-call adapter merge shifts the
-# Pallas/XLA crossover away from the plain masked decisions (measured:
-# T5 wi flips to Pallas 2.6×, ViT fc2 flips back to XLA).
+# family ("lora:" key prefix): the per-call adapter merge changes the op
+# enough that masked-matmul winners must not carry over.  Measured on
+# v5e: XLA wins ALL six XL classes for this op (its fusion folds the
+# rank-r merge into the dot operand read) even where Pallas wins the
+# plain masked matmul — see BENCH_NOTES "Fused sparse-LoRA dispatch".
 # ---------------------------------------------------------------------------
 
 

@@ -359,7 +359,12 @@ def _sparse_lora_pallas(x2, w, mask, lora_a, lora_b, scale, tiles=None):
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
         )(x2, w, mask, lora_a, lora_b)
-    except Exception:  # unsupported layout → XLA reference
+    except Exception:
+        # trace-time validation failures only (bad block specs etc.);
+        # Mosaic COMPILE errors surface later, outside this frame — the
+        # "auto" path avoids them because tuning compiled the same
+        # (shape, tiles) first, but forced use_pallas_masked_matmul(True)
+        # can still fail at jit-compile time on unsupported layouts
         return None
 
 

@@ -316,15 +316,21 @@ class RunnerBase:
                                     dataset=self.datasets)
         results = self.task.evaluation(self.model, loader)
         # model-size accounting the reference threads into the metric
-        # report (vqa.py:135-137,163-164; set by train.py:365-406)
-        sizes = {}
-        variables = getattr(self.model, "variables", None)
-        if isinstance(variables, dict) and "params" in variables:
-            from vlm_compression_tpu.compression.peft_io import (
-                model_size_accounting,
-            )
+        # report (vqa.py:135-137,163-164; set by train.py:365-406).
+        # Computed once per runner: masks and base weights are frozen
+        # during retraining (only LoRA factors train), so the counts
+        # cannot change between eval epochs — no per-epoch device sweep.
+        sizes = getattr(self, "_model_sizes", None)
+        if sizes is None:
+            sizes = {}
+            variables = getattr(self.model, "variables", None)
+            if isinstance(variables, dict) and "params" in variables:
+                from vlm_compression_tpu.compression.peft_io import (
+                    model_size_accounting,
+                )
 
-            sizes = model_size_accounting(variables)
+                sizes = model_size_accounting(variables)
+            self._model_sizes = sizes
         return self.task.after_evaluation(
             val_result=results, split_name=split, epoch="eval",
             result_dir=os.path.join(self.output_dir, "result"), **sizes)
