@@ -59,6 +59,10 @@ def parse_args(argv=None):
     p.add_argument("--max_sparsity_per_layer", type=float, default=0.8)
     p.add_argument("--owl_m", type=float, default=5.0,
                    help="OWL outlier threshold for score_method owl_*")
+    p.add_argument("--softmask_steps", type=int, default=48,
+                   help="annealing steps for *_softmask_pruner "
+                        "(beyond-reference trainable n:m masks)")
+    p.add_argument("--softmask_lr", type=float, default=0.1)
     p.add_argument("--hybrid_tile", type=int, default=0,
                    help="with --prune_n/m: PATCH-style tile-level hybrid "
                         "masks — the most salient (t x t) weight tiles "
@@ -229,7 +233,9 @@ def main(argv=None):
             initial_method=args.initial_method,
             max_cycle_time=args.max_cycle_time,
             update_threshold=args.update_threshold,
-            pow_of_var_regrowing=args.pow_of_var_regrowing)
+            pow_of_var_regrowing=args.pow_of_var_regrowing,
+            softmask_steps=args.softmask_steps,
+            softmask_lr=args.softmask_lr)
         model, sparsity_mapping = pruner.prune(lora_model=args.train)
         timer_ctx.__exit__(None, None, None)
         runner.model = model

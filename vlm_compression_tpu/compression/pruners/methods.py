@@ -144,3 +144,33 @@ def dsnot_mask_fn(prune_n: int = 0, prune_m: int = 0,
         return BlockPruneResult(masks, {}, imps)
 
     return fn
+
+
+def softmask_mask_fn(prune_n: int = 0, prune_m: int = 0,
+                     steps: int = 48, lr: float = 0.1,
+                     tau_start: float = 2.0, tau_end: float = 0.05):
+    """Annealed Hessian-guided soft-mask n:m (beyond-reference;
+    ops/softmask.py).  Requires n:m (the relaxation is per m-group);
+    logits init from the Wanda metric, objective from the calibration
+    Hessians, no-regression fallback to the init mask."""
+    if prune_n <= 0 or prune_m <= 0:
+        raise ValueError("softmask pruning is n:m only — set "
+                         "--prune_n/--prune_m (e.g. 2:4)")
+
+    from vlm_compression_tpu.ops.softmask import softmask_nm_prune
+
+    def fn(kernels, stats, sparsities):
+        masks, imps = {}, {}
+        for p, k in kernels.items():
+            s = stats[p]
+            met = wanda_metric(k.T, s.scaler_row)
+            keep, err_t, err_i = softmask_nm_prune(
+                k.T, finalize_hessian(s), prune_n, prune_m,
+                init_metric=met, steps=steps, lr=lr,
+                tau_start=tau_start, tau_end=tau_end)
+            masks[p] = keep.T
+            # importance: the achieved OBS-error improvement ratio
+            imps[p] = err_i / jnp.maximum(err_t, 1e-20)
+        return BlockPruneResult(masks, {}, imps)
+
+    return fn

@@ -50,7 +50,7 @@ class _MethodMixin:
 
     @property
     def with_hessian(self) -> bool:
-        if self.unified_fold or self.method == "sparsegpt":
+        if self.unified_fold or self.method in ("sparsegpt", "softmask"):
             return True
         return self.method == "dsnot" and self.initial_method == "sparsegpt"
 
@@ -73,6 +73,9 @@ class _MethodMixin:
     # PATCH-style hybrid tiles (beyond-reference): with n:m set, tile
     # size for salient-tiles-stay-dense masks (0 = plain n:m)
     hybrid_tile: int = 0
+    # annealed soft-mask knobs (beyond-reference; ops/softmask.py)
+    softmask_steps: int = 48
+    softmask_lr: float = 0.1
 
     def _build_mask_fn(self, lora_model: bool, tower: str = "llm"):
         if self.method in ("wanda", "ria"):
@@ -90,6 +93,10 @@ class _MethodMixin:
                 self.max_cycle_time, self.update_threshold,
                 self.pow_of_var_regrowing, self.without_same_sign,
                 self.without_dsnot)
+        if self.method == "softmask":
+            return M.softmask_mask_fn(
+                self.prune_n, self.prune_m, steps=self.softmask_steps,
+                lr=self.softmask_lr)
         raise ValueError(self.method)
 
     def _prune_tower(self, adapter, variables, batches, sparsity_for,
@@ -540,3 +547,12 @@ BlipT5DSnoTPruner = _make(BlipT5PrunerBase, "dsnot", "blipt5_dsnot_pruner")
 T5RIAPruner = _make(T5PrunerBase, "ria", "t5_ria_pruner")
 ViTRIAPruner = _make(ViTPrunerBase, "ria", "vit_ria_pruner")
 BlipT5RIAPruner = _make(BlipT5PrunerBase, "ria", "blipt5_ria_pruner")
+
+# beyond-reference: annealed Hessian-guided soft-mask n:m (SparseForge
+# pattern) — differentiable top-(m−n) relaxation trained against the OBS
+# reconstruction error from the calibration Hessians, no-regression
+# fallback to the Wanda init (ops/softmask.py)
+T5SoftMaskPruner = _make(T5PrunerBase, "softmask", "t5_softmask_pruner")
+ViTSoftMaskPruner = _make(ViTPrunerBase, "softmask", "vit_softmask_pruner")
+BlipT5SoftMaskPruner = _make(BlipT5PrunerBase, "softmask",
+                             "blipt5_softmask_pruner")
