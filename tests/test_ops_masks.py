@@ -206,3 +206,24 @@ def test_hybrid_tile_mask_ragged_dims_and_bounds():
     assert 0.6 < float(mask_density(msk)) < 0.85
     with pytest.raises(ValueError):
         hybrid_tile_mask(metric, 0.6, 2, 4)   # > 1 - n/m
+
+
+def test_nm_mask_supports_slidesparse_family():
+    """(2N-2):2N patterns (SlideSparse family — 6:8, 14:16) ride the
+    generic n:m extractor: n pruned per group of m, any n < m."""
+    import numpy as np
+
+    from vlm_compression_tpu.ops.masks import nm_structured_mask
+
+    rng = np.random.default_rng(0)
+    for n, m in ((6, 8), (14, 16)):
+        metric = jnp.asarray(rng.random((4, 64)), jnp.float32)
+        keep = np.asarray(nm_structured_mask(metric, n, m))
+        groups = keep.reshape(4, -1, m)
+        assert (groups.sum(-1) == m - n).all()
+        # kept entries are exactly the m-n largest per group
+        met = np.asarray(metric).reshape(4, -1, m)
+        for u in range(4):
+            for g in range(met.shape[1]):
+                top = set(np.argsort(-met[u, g])[: m - n])
+                assert set(np.flatnonzero(groups[u, g])) == top
