@@ -157,20 +157,42 @@ def softmask_mask_fn(prune_n: int = 0, prune_m: int = 0,
         raise ValueError("softmask pruning is n:m only — set "
                          "--prune_n/--prune_m (e.g. 2:4)")
 
-    from vlm_compression_tpu.ops.softmask import softmask_nm_prune
+    from vlm_compression_tpu.ops.softmask import (
+        softmask_nm_prune,
+        softmask_nm_prune_batched,
+    )
 
     def fn(kernels, stats, sparsities):
-        masks, imps = {}, {}
+        # equal-shape linears (q/k/v/o per block) anneal as ONE vmapped
+        # program, mirroring the SparseGPT grouping
+        groups = {}
         for p, k in kernels.items():
-            s = stats[p]
-            met = wanda_metric(k.T, s.scaler_row)
-            keep, err_t, err_i = softmask_nm_prune(
-                k.T, finalize_hessian(s), prune_n, prune_m,
-                init_metric=met, steps=steps, lr=lr,
-                tau_start=tau_start, tau_end=tau_end)
-            masks[p] = keep.T
-            # importance: the achieved OBS-error improvement ratio
-            imps[p] = err_i / jnp.maximum(err_t, 1e-20)
+            groups.setdefault(k.shape, []).append(p)
+        masks, imps = {}, {}
+        for shape, paths in groups.items():
+            if len(paths) == 1:
+                p = paths[0]
+                s = stats[p]
+                keep, err_t, err_i = softmask_nm_prune(
+                    kernels[p].T, finalize_hessian(s), prune_n, prune_m,
+                    init_metric=wanda_metric(kernels[p].T, s.scaler_row),
+                    steps=steps, lr=lr, tau_start=tau_start,
+                    tau_end=tau_end)
+                keep, err_t, err_i = keep[None], err_t[None], err_i[None]
+            else:
+                ws = jnp.stack([kernels[p].T for p in paths])
+                hs = jnp.stack([finalize_hessian(stats[p]) for p in paths])
+                ms = jnp.stack([wanda_metric(kernels[p].T,
+                                             stats[p].scaler_row)
+                                for p in paths])
+                keep, err_t, err_i = softmask_nm_prune_batched(
+                    ws, hs, prune_n, prune_m, init_metrics=ms,
+                    steps=steps, lr=lr, tau_start=tau_start,
+                    tau_end=tau_end)
+            for i, p in enumerate(paths):
+                masks[p] = keep[i].T
+                # importance: the achieved OBS-error improvement ratio
+                imps[p] = err_i[i] / jnp.maximum(err_t[i], 1e-20)
         return BlockPruneResult(masks, {}, imps)
 
     return fn

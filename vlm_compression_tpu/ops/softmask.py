@@ -136,3 +136,24 @@ def softmask_nm_prune(weight_um: jnp.ndarray, hessian: jnp.ndarray,
     _, _, _, keep, err_trained = jax.lax.fori_loop(
         0, steps, body, (logits0, z, z, mask_init, err_init))
     return keep, err_trained, err_init
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "steps"))
+def softmask_nm_prune_batched(weights_um: jnp.ndarray,
+                              hessians: jnp.ndarray,
+                              n: int, m: int,
+                              init_metrics: jnp.ndarray = None,
+                              steps: int = 48, lr: float = 0.1,
+                              tau_start: float = 2.0,
+                              tau_end: float = 0.05):
+    """vmapped :func:`softmask_nm_prune` over G equal-shape linears
+    (stacked leading axis) — the same equal-shape grouping the SparseGPT
+    path uses (q/k/v/o share a shape per block), so a block's mask
+    training runs as one device program instead of G serial ones."""
+    fn = functools.partial(softmask_nm_prune.__wrapped__, n=n, m=m,
+                           steps=steps, lr=lr, tau_start=tau_start,
+                           tau_end=tau_end)
+    if init_metrics is None:
+        return jax.vmap(lambda w, h: fn(w, h))(weights_um, hessians)
+    return jax.vmap(lambda w, h, im: fn(w, h, init_metric=im))(
+        weights_um, hessians, init_metrics)
