@@ -316,3 +316,59 @@ def test_gpt_dialogue_processor_drives_model(tmp_path):
     out = model.apply(variables, ids, vid, labels, tt)
     assert np.isfinite(float(out["loss"]))
     assert "video_loss" in out
+
+
+def test_laion_webdataset_streaming(tmp_path):
+    """laion2B_multi builder: tar-shard streaming with brace expansion
+    (reference image_text_pair_builder.py:48-76)."""
+    import io
+    import tarfile
+
+    from vlm_compression_tpu.datasets.items import LaionDataset, expand_braces
+
+    assert expand_braces("/x/{00003..00005}.tar") == [
+        "/x/00003.tar", "/x/00004.tar", "/x/00005.tar"]
+
+    rng = np.random.RandomState(1)
+    for s in range(2):
+        with tarfile.open(tmp_path / f"0000{s}.tar", "w") as tf:
+            for i in range(3):
+                key = f"s{s}_k{i}"
+                arr = rng.randint(0, 255, (40, 40, 3), np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="JPEG")
+                for ext, blob in ((".jpg", buf.getvalue()),
+                                  (".json", json.dumps(
+                                      {"caption": f"cap {key}"}).encode())):
+                    info = tarfile.TarInfo(key + ext)
+                    info.size = len(blob)
+                    tf.addfile(info, io.BytesIO(blob))
+
+    builder = load_builder("laion2B_multi", {
+        "build_info": {"storage": str(tmp_path / "{00000..00001}.tar")},
+        "vis_processor": {"train": {"name": "blip_image_eval",
+                                    "image_size": 32}},
+        "text_processor": {"train": {"name": "blip_caption"}},
+    })
+    ds = builder.build_datasets()
+    assert set(ds) == {"train"}
+    samples = list(ds["train"])
+    assert len(samples) == 6
+    assert samples[0]["image"].shape == (32, 32, 3)
+    assert samples[0]["text_input"].startswith("cap s0_k0")
+    batch = ds["train"].collater(samples[:2])
+    assert batch["image"].shape == (2, 32, 32, 3)
+
+    # host sharding: two processes stream disjoint shards
+    p0 = LaionDataset(builder._processor("vis", "train"),
+                      builder._processor("text", "train"),
+                      str(tmp_path / "{00000..00001}.tar"),
+                      process_index=0, process_count=2)
+    p1 = LaionDataset(builder._processor("vis", "train"),
+                      builder._processor("text", "train"),
+                      str(tmp_path / "{00000..00001}.tar"),
+                      process_index=1, process_count=2)
+    ids0 = {s["instance_id"] for s in p0}
+    ids1 = {s["instance_id"] for s in p1}
+    assert ids0 and ids1 and not (ids0 & ids1)
+    assert len(ids0 | ids1) == 6

@@ -134,3 +134,22 @@ for _n in ("msrvtt_qa", "msvd_qa"):
     _register(_n, I.VideoQADataset, I.VideoQAEvalDataset)
 AVSDBuilder = _register("avsd_dialogue", I.VideoDialogueDataset,
                         I.VideoDialogueDataset)
+
+
+@registry.register_builder("laion2B_multi")
+class Laion2BMultiBuilder(BaseDatasetBuilder):
+    """Streaming webdataset corpus (image_text_pair_builder.py:48-76):
+    train-only, ``build_info.storage`` is a brace-glob of .tar shards;
+    the reference returns the inner wds pipeline — here a tarfile-backed
+    `LaionDataset` iterable with the standard sample schema."""
+
+    train_dataset_cls = I.LaionDataset
+
+    def build_datasets(self, max_train_samples: Optional[int] = None):
+        info = _get(self.config, "build_info", {}) or {}
+        storage = _get(info, "storage", "")
+        ds = I.LaionDataset(
+            vis_processor=self._processor("vis", "train"),
+            text_processor=self._processor("text", "train"),
+            location=storage)
+        return {"train": ds}

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -318,3 +319,89 @@ class VideoDialogueDataset(_VideoFramesMixin, BaseItemDataset):
             "text_output": ann.get("answer", ann.get("caption", "")),
             "instance_id": ann["instance_id"],
         }
+
+
+def expand_braces(pattern: str) -> List[str]:
+    """Expand one webdataset-style ``{00000..01743}`` numeric brace range
+    (the reference's laion storage pattern,
+    configs/datasets/laion/defaults_2B_multi.yaml)."""
+    m = re.search(r"\{(\d+)\.\.(\d+)\}", pattern)
+    if m is None:
+        return [pattern]
+    lo, hi = m.group(1), m.group(2)
+    width = len(lo)
+    return [pattern[: m.start()] + str(i).zfill(width) + pattern[m.end():]
+            for i in range(int(lo), int(hi) + 1)]
+
+
+class LaionDataset:
+    """Streaming (image, caption) pairs from local webdataset tar shards —
+    counterpart of ``lavis/datasets/datasets/laion_dataset.py`` (absent
+    from the snapshot; rebuilt from the builder call-site
+    ``image_text_pair_builder.py:48-76``: location = brace-glob of .tar
+    shards, train-only, the builder returns the inner iterable).
+
+    TPU-native design: plain ``tarfile`` streaming — no torch/webdataset
+    dependency — yielding the same sample schema as ``CaptionDataset`` so
+    ``collater`` and the prefix-LM tasks consume it unchanged.  Shards
+    are sharded across hosts by ``process_index``/``process_count`` so a
+    multi-host data-parallel job streams disjoint data.
+    """
+
+    def __init__(self, vis_processor, text_processor, location,
+                 process_index: int = 0, process_count: int = 1):
+        self.vis_processor = vis_processor
+        self.text_processor = text_processor
+        pats = [location] if isinstance(location, str) else list(location)
+        shards: List[str] = []
+        for p in pats:
+            shards.extend(expand_braces(p))
+        self.shards = shards[process_index::process_count]
+        self.collater = BaseItemDataset.collater.__get__(self)
+
+    def _decode(self, key, blobs) -> Optional[Dict[str, Any]]:
+        img_blob = next((blobs[e] for e in (".jpg", ".jpeg", ".png", ".webp")
+                         if e in blobs), None)
+        if img_blob is None:
+            return None
+        caption = ""
+        if ".json" in blobs:
+            try:
+                caption = json.loads(blobs[".json"].decode()).get("caption", "")
+            except (ValueError, AttributeError):
+                caption = ""
+        elif ".txt" in blobs:
+            caption = blobs[".txt"].decode("utf-8", "replace")
+        import io
+
+        with Image.open(io.BytesIO(img_blob)) as img:
+            image = self.vis_processor(img.convert("RGB"))
+        return {"image": image,
+                "text_input": self.text_processor(caption),
+                "text_output": self.text_processor(caption),
+                "image_id": key, "instance_id": key}
+
+    def __iter__(self):
+        import tarfile
+
+        for shard in self.shards:
+            if not os.path.exists(shard):
+                continue
+            with tarfile.open(shard) as tf:
+                cur_key, blobs = None, {}
+                for member in tf:
+                    if not member.isfile():
+                        continue
+                    base = os.path.basename(member.name)
+                    key, ext = os.path.splitext(base)
+                    if cur_key is not None and key != cur_key:
+                        s = self._decode(cur_key, blobs)
+                        if s is not None:
+                            yield s
+                        blobs = {}
+                    cur_key = key
+                    blobs[ext.lower()] = tf.extractfile(member).read()
+                if cur_key is not None:
+                    s = self._decode(cur_key, blobs)
+                    if s is not None:
+                        yield s
