@@ -122,3 +122,34 @@ def test_retrieval_task_end_to_end(tiny, tmp_path):
     rd.mkdir()
     metrics = task.after_evaluation(res, result_dir=str(rd))
     assert "txt_r1" in metrics and "agg_metrics" in metrics
+
+
+def test_extract_features_modes(tiny):
+    """blip2_feature_extractor API (reference blip2_qformer.py:371-470)."""
+    model, variables, batch = tiny
+    nq = model.cfg.qformer.num_query_tokens
+    e = model.cfg.embed_dim
+
+    fi = model.apply(variables, {"image": batch["image"]}, "image",
+                     method=Blip2Qformer.extract_features)
+    assert fi["image_embeds"].shape[:2] == (4, nq)
+    assert fi["image_embeds_proj"].shape == (4, nq, e)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(fi["image_embeds_proj"]), axis=-1),
+        1.0, atol=1e-5)
+    assert fi["text_embeds"] is None and fi["multimodal_embeds"] is None
+
+    ft = model.apply(variables, {"text_ids": batch["text_ids"],
+                                 "text_mask": batch["text_mask"]}, "text",
+                     method=Blip2Qformer.extract_features)
+    assert ft["text_embeds_proj"].shape == (4, e)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(ft["text_embeds_proj"]), axis=-1),
+        1.0, atol=1e-5)
+
+    fm = model.apply(variables, {"image": batch["image"],
+                                 "text_ids": batch["text_ids"],
+                                 "text_mask": batch["text_mask"]},
+                     "multimodal", method=Blip2Qformer.extract_features)
+    assert fm["multimodal_embeds"].shape[:2] == (4, nq)
+    assert fm["image_embeds"] is None

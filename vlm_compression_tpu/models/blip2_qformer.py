@@ -95,6 +95,40 @@ class Blip2Qformer(nn.Module):
         return jnp.mean(self.itm_head(q.astype(jnp.float32), mode="dense"),
                         axis=1)
 
+    def extract_features(self, samples, mode="multimodal",
+                         vit_mode="masked", qformer_mode="masked"):
+        """Unimodal/multimodal feature extraction — the
+        ``blip2_feature_extractor`` user API (reference
+        blip2_qformer.py:371-470, BlipOutputFeatures fields as a dict):
+        mode="image" → query hidden states + unit-norm ITC projection;
+        "text" → text hidden states + unit-norm CLS projection;
+        "multimodal" → query positions of the image-grounded text
+        forward."""
+        assert mode in ("image", "text", "multimodal"), mode
+        out = {"image_embeds": None, "image_embeds_proj": None,
+               "text_embeds": None, "text_embeds_proj": None,
+               "multimodal_embeds": None}
+        if mode == "image":
+            q, feats = self.forward_image(samples["image"], vit_mode,
+                                          qformer_mode)
+            out["image_embeds"], out["image_embeds_proj"] = q, feats
+        elif mode == "text":
+            h = self.qformer.forward_text(samples["text_ids"],
+                                          samples.get("text_mask"),
+                                          mode=qformer_mode)
+            feat = self.text_proj(h[:, 0].astype(jnp.float32), mode="dense")
+            out["text_embeds"] = h
+            out["text_embeds_proj"] = feat / jnp.linalg.norm(
+                feat, axis=-1, keepdims=True)
+        else:
+            embeds = self.image_embeds(samples["image"], vit_mode)
+            mm = self.qformer.forward_multimodal(
+                embeds, samples["text_ids"], samples.get("text_mask"),
+                mode=qformer_mode)
+            out["multimodal_embeds"] = mm[:, : self.cfg.qformer
+                                          .num_query_tokens]
+        return out
+
     # -- stage-1 objective ---------------------------------------------
     def __call__(self, image, text_ids, text_mask,
                  vit_mode="masked", qformer_mode="masked"):
