@@ -282,3 +282,41 @@ def test_wanda_hybrid_tile_end_to_end():
     # overall density per pruned layer ~ 1 - 0.3 (hybrid: dense tiles
     # raise it above the plain 2:4 floor of 0.5)
     assert all(0.6 <= d <= 0.8 for d in ds), ds
+
+
+def test_t5_gptq_quantize_only():
+    """gptq pruner, keep-ratio 1.0: no pruning, kernels land on a small
+    per-unit grid (beyond-reference; ops/gptq.py)."""
+    rng = jax.random.PRNGKey(11)
+    cfg, module, variables, batches = _t5_setup(rng)
+    own = {k: _deep_copy_dicts(v) for k, v in dict(variables).items()}
+    pruner = load_pruner("t5_gptq_pruner", FlaxModel(module, own),
+                         batches, prune_spec="2-1.0-1.0-1.0", num_samples=8,
+                         blocksize=8, gptq_bits=4, gptq_group=0)
+    model, _ = pruner.prune(lora_model=True)
+    w_old = variables["params"]["encoder"]["blocks_0"]["self_attn"]["q"]["kernel"]
+    w_new = model.variables["params"]["encoder"]["blocks_0"]["self_attn"]["q"]["kernel"]
+    keep = model.variables["masks"]["encoder"]["blocks_0"]["self_attn"]["q"]["mask"]
+    assert np.asarray(keep).all()                      # quantize-only
+    assert not np.allclose(np.asarray(w_old), np.asarray(w_new))
+    # 4-bit grid, one group: ≤ 16 distinct values per output unit
+    wn = np.asarray(w_new, np.float32)
+    for u in range(min(4, wn.shape[1])):
+        assert len(np.unique(np.round(wn[:, u], 6))) <= 16
+
+
+def test_t5_gptq_joint_sparse_quant():
+    rng = jax.random.PRNGKey(12)
+    cfg, module, variables, batches = _t5_setup(rng)
+    own = {k: _deep_copy_dicts(v) for k, v in dict(variables).items()}
+    pruner = load_pruner("t5_gptq_pruner", FlaxModel(module, own),
+                         batches, prune_spec="2-0.5-1.0-1.0", num_samples=8,
+                         blocksize=8, gptq_bits=4, gptq_group=0)
+    model, _ = pruner.prune(lora_model=True)
+    w = np.asarray(model.variables["params"]["encoder"]["blocks_0"]
+                   ["self_attn"]["q"]["kernel"])
+    keep = np.asarray(model.variables["masks"]["encoder"]["blocks_0"]
+                      ["self_attn"]["q"]["mask"])
+    assert abs(keep.mean() - 0.5) < 0.1
+    assert (w[~keep] == 0).all()
+    assert not np.allclose(w[keep], 0)

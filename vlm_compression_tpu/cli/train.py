@@ -67,6 +67,17 @@ def parse_args(argv=None):
                    help="with --prune_n/m: PATCH-style tile-level hybrid "
                         "masks — the most salient (t x t) weight tiles "
                         "stay dense, the rest take n:m (wanda/ria only)")
+    p.add_argument("--gptq_bits", type=int, default=4,
+                   help="*_gptq_pruner grid bits (beyond-reference "
+                        "calibration-aware quantization; keep-ratio 1.0 "
+                        "= quantize-only, else joint sparse+quant)")
+    p.add_argument("--gptq_group", type=int, default=128,
+                   help="*_gptq_pruner scale group size (0 = per-tensor "
+                        "row grids)")
+    p.add_argument("--gptq_asym", action="store_true",
+                   help="asymmetric GPTQ grids (default symmetric)")
+    p.add_argument("--gptq_actorder", action="store_true",
+                   help="GPTQ desc_act column ordering")
     p.add_argument("--sparsity_dict", default=None)
     p.add_argument("--t5_model_prefix", default="t5_model")
     p.add_argument("--vit_model_prefix", default="visual_encoder")
@@ -235,7 +246,10 @@ def main(argv=None):
             update_threshold=args.update_threshold,
             pow_of_var_regrowing=args.pow_of_var_regrowing,
             softmask_steps=args.softmask_steps,
-            softmask_lr=args.softmask_lr)
+            softmask_lr=args.softmask_lr,
+            gptq_bits=args.gptq_bits, gptq_group=args.gptq_group,
+            gptq_sym=not args.gptq_asym,
+            gptq_actorder=args.gptq_actorder)
         model, sparsity_mapping = pruner.prune(lora_model=args.train)
         timer_ctx.__exit__(None, None, None)
         runner.model = model

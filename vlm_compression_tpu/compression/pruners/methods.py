@@ -196,3 +196,45 @@ def softmask_mask_fn(prune_n: int = 0, prune_m: int = 0,
         return BlockPruneResult(masks, {}, imps)
 
     return fn
+
+
+def gptq_fn(prune_n: int = 0, prune_m: int = 0, bits: int = 4,
+            groupsize: int = 128, sym: bool = True, act_order: bool = False,
+            blocksize: int = 128, percdamp: float = 0.01):
+    """GPTQ quantization as a calibration-engine method (beyond-reference;
+    ops/gptq.py).  sparsity == 0 → quantize-only (all-True keep masks);
+    sparsity > 0 or n:m → JOINT sparse+quant in one OBS sweep.  Reuses the
+    Hessians the unified fold already accumulates — no extra data passes.
+    Equal-shape linears batch into one vmapped program exactly like the
+    SparseGPT path."""
+
+    from vlm_compression_tpu.ops.gptq import (gptq_quantize,
+                                              gptq_quantize_batched)
+
+    def fn(kernels, stats, sparsities):
+        groups = {}
+        for p, k in kernels.items():
+            groups.setdefault((k.shape, float(sparsities[p])), []).append(p)
+        masks, new_k, imps = {}, {}, {}
+        for (shape, sp), paths in groups.items():
+            kw = dict(bits=bits, groupsize=groupsize, sym=sym,
+                      act_order=act_order, sparsity=sp, prune_n=prune_n,
+                      prune_m=prune_m, blocksize=blocksize,
+                      percdamp=percdamp)
+            if len(paths) == 1:
+                res = gptq_quantize(
+                    kernels[paths[0]].T,
+                    finalize_hessian(stats[paths[0]]), **kw)
+                res = jax.tree.map(lambda a: a[None], res)
+            else:
+                ws = jnp.stack([kernels[p].T for p in paths])
+                hs = jnp.stack([finalize_hessian(stats[p]) for p in paths])
+                res = gptq_quantize_batched(ws, hs, **kw)
+            jax.block_until_ready(res.weight)
+            for i, p in enumerate(paths):
+                masks[p] = res.keep_mask[i].T
+                new_k[p] = res.weight[i].T
+                imps[p] = jnp.mean(res.losses[i])
+        return BlockPruneResult(masks, new_k, imps)
+
+    return fn

@@ -50,7 +50,8 @@ class _MethodMixin:
 
     @property
     def with_hessian(self) -> bool:
-        if self.unified_fold or self.method in ("sparsegpt", "softmask"):
+        if self.unified_fold or self.method in ("sparsegpt", "softmask",
+                                                "gptq"):
             return True
         return self.method == "dsnot" and self.initial_method == "sparsegpt"
 
@@ -76,6 +77,11 @@ class _MethodMixin:
     # annealed soft-mask knobs (beyond-reference; ops/softmask.py)
     softmask_steps: int = 48
     softmask_lr: float = 0.1
+    # GPTQ knobs (beyond-reference; ops/gptq.py)
+    gptq_bits: int = 4
+    gptq_group: int = 128
+    gptq_sym: bool = True
+    gptq_actorder: bool = False
 
     def _build_mask_fn(self, lora_model: bool, tower: str = "llm"):
         if self.method in ("wanda", "ria"):
@@ -97,6 +103,12 @@ class _MethodMixin:
             return M.softmask_mask_fn(
                 self.prune_n, self.prune_m, steps=self.softmask_steps,
                 lr=self.softmask_lr)
+        if self.method == "gptq":
+            return M.gptq_fn(
+                self.prune_n, self.prune_m, bits=self.gptq_bits,
+                groupsize=self.gptq_group, sym=self.gptq_sym,
+                act_order=self.gptq_actorder, blocksize=self.blocksize,
+                percdamp=self.percdamp)
         raise ValueError(self.method)
 
     def _prune_tower(self, adapter, variables, batches, sparsity_for,
@@ -556,3 +568,10 @@ T5SoftMaskPruner = _make(T5PrunerBase, "softmask", "t5_softmask_pruner")
 ViTSoftMaskPruner = _make(ViTPrunerBase, "softmask", "vit_softmask_pruner")
 BlipT5SoftMaskPruner = _make(BlipT5PrunerBase, "softmask",
                              "blipt5_softmask_pruner")
+
+# beyond-reference: GPTQ calibration-aware quantization riding the same
+# sweep (ops/gptq.py).  Keep-ratio 1.0 in the prune spec → quantize-only;
+# any other ratio or n:m → joint sparse+quant in one OBS pass.
+T5GPTQPruner = _make(T5PrunerBase, "gptq", "t5_gptq_pruner")
+ViTGPTQPruner = _make(ViTPrunerBase, "gptq", "vit_gptq_pruner")
+BlipT5GPTQPruner = _make(BlipT5PrunerBase, "gptq", "blipt5_gptq_pruner")

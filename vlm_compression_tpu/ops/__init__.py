@@ -48,3 +48,10 @@ from vlm_compression_tpu.ops.bitmask import (  # noqa: F401
     unpack_mask,
     unpack_masks_tree,
 )
+from vlm_compression_tpu.ops.gptq import (  # noqa: F401
+    GPTQResult,
+    gptq_dequantize,
+    gptq_quantize,
+    gptq_quantize_batched,
+    rtn_quantize,
+)
