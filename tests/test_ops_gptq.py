@@ -158,3 +158,40 @@ def test_numpy_full_sweep_oracle():
     match = (np.asarray(res.codes) == codes).mean()
     assert match > 0.97, match
     np.testing.assert_allclose(np.asarray(res.weight), Wn, atol=5e-3)
+
+
+def test_gptq_int4_storage_bridge():
+    """Sym 4-bit GPTQ codes flow bit-exactly through the existing int4
+    at-rest storage + matmul (ops.quant.kernel_q4 path)."""
+    import jax
+
+    from vlm_compression_tpu.ops.gptq import gptq_to_int4_params
+    from vlm_compression_tpu.ops.quant import (
+        dequantize_weight_int4,
+        int4_matmul,
+    )
+
+    W, H, _X = _calib(units=16, cols=32, seed=21)
+    res = gptq_quantize(W, H, bits=4, groupsize=8, sym=True, blocksize=16,
+                        sparsity=0.5)
+    packed, scale = gptq_to_int4_params(res)
+    assert packed.shape == (16, 16) and scale.shape == (4, 16)
+    deq = dequantize_weight_int4(packed, scale)        # (in, out)
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(res.weight).T,
+                               atol=1e-6)
+    # pruned entries stayed exactly zero through the packed round-trip
+    keep = np.asarray(res.keep_mask).T
+    assert (np.asarray(deq)[~keep] == 0).all()
+    x = jnp.asarray(np.random.RandomState(0).standard_normal((4, 32)),
+                    jnp.float32)
+    y = int4_matmul(x, packed, scale)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(x @ res.weight.T),
+                               rtol=1e-4, atol=1e-4)
+
+    with pytest.raises(ValueError):
+        gptq_to_int4_params(gptq_quantize(W, H, bits=4, groupsize=8,
+                                          sym=False, blocksize=16))
+    with pytest.raises(ValueError):
+        gptq_to_int4_params(gptq_quantize(W, H, bits=4, groupsize=8,
+                                          act_order=True, blocksize=16))

@@ -52,6 +52,7 @@ from vlm_compression_tpu.ops.gptq import (  # noqa: F401
     GPTQResult,
     gptq_dequantize,
     gptq_quantize,
+    gptq_to_int4_params,
     gptq_quantize_batched,
     rtn_quantize,
 )

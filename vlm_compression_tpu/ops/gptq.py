@@ -334,3 +334,41 @@ def rtn_quantize(weight_um: jnp.ndarray, bits: int = 4,
 
     out = jax.vmap(one, in_axes=1, out_axes=1)(slabs)
     return out.reshape(units, cols).astype(weight_um.dtype)
+
+
+def gptq_to_int4_params(res: GPTQResult):
+    """Bridge a symmetric 4-bit, identity-order GPTQ result into the
+    framework's int4 at-rest storage: returns ``(kernel_q4, kernel_scale)``
+    exactly as ``ops.quant.quantize_params_tree_int4`` lays them out
+    ((in/2, out) nibble-packed two's-complement + (in/G, out) scales), so
+    ``SparseLinear``'s existing ``kernel_q4`` path and
+    ``ops.quant.int4_matmul`` serve GPTQ weights with no new kernel.
+
+    The sym grid's zero point is 8, so ``code − 8 ∈ [−8, 7]`` IS the
+    signed int4 value and ``scale·(code−8)`` reproduces the fake-quant
+    weights bit-exactly — including the exact zeros of a joint
+    sparse+quant sweep (pruned codes sit on the zero point).
+
+    Requires bits=4, sym=True, act_order=False (codes in original column
+    order); raises otherwise.
+    """
+    import numpy as np
+
+    codes = np.asarray(res.codes)
+    zero = np.asarray(res.zero)
+    perm = np.asarray(res.perm)
+    if codes.max() > 15:
+        raise ValueError("gptq_to_int4_params requires bits=4")
+    if not (zero == 8).all():
+        raise ValueError("gptq_to_int4_params requires sym grids (zero=8)")
+    if not (perm == np.arange(perm.size)).all():
+        raise ValueError("gptq_to_int4_params requires act_order=False")
+    units, cols = codes.shape
+    if cols % 2:
+        raise ValueError("in_features must be even")
+    q = (codes.astype(np.int32) - 8).T         # (in, out), values −8..7
+    lo = q[0::2] & 0xF
+    hi = q[1::2] & 0xF
+    packed = jnp.asarray((lo | (hi << 4)).astype(np.uint8))
+    scale = jnp.asarray(np.asarray(res.scale).T)   # (in/G, out)
+    return packed, scale
