@@ -41,7 +41,10 @@ def _t5_setup(rng, fp32=True):
     variables = module.init(rng, ids, mask, shift_right(labels))
     batches = [
         {"input_ids": ids, "attention_mask": mask, "labels": labels},
-        {"input_ids": ids + 1, "attention_mask": mask, "labels": labels},
+        # wrap into [1, vocab): an out-of-range id makes the embedding
+        # gather fill NaN under jit (seed-dependent test poison)
+        {"input_ids": ids % (cfg.vocab_size - 1) + 1,
+         "attention_mask": mask, "labels": labels},
     ]
     return cfg, module, variables, batches
 
@@ -320,3 +323,22 @@ def test_t5_gptq_joint_sparse_quant():
     assert abs(keep.mean() - 0.5) < 0.1
     assert (w[~keep] == 0).all()
     assert not np.allclose(w[keep], 0)
+
+
+def test_t5_gptq_awq_end_to_end():
+    """--gptq_awq: AWQ scale search + GPTQ per linear, original-space
+    fake-quant kernels."""
+    rng = jax.random.PRNGKey(13)
+    cfg, module, variables, batches = _t5_setup(rng)
+    own = {k: _deep_copy_dicts(v) for k, v in dict(variables).items()}
+    pruner = load_pruner("t5_gptq_pruner", FlaxModel(module, own),
+                         batches, prune_spec="2-1.0-1.0-1.0", num_samples=8,
+                         blocksize=8, gptq_bits=4, gptq_group=0,
+                         gptq_awq=True)
+    model, _ = pruner.prune(lora_model=True)
+    w_old = variables["params"]["encoder"]["blocks_0"]["self_attn"]["q"]["kernel"]
+    w_new = model.variables["params"]["encoder"]["blocks_0"]["self_attn"]["q"]["kernel"]
+    keep = model.variables["masks"]["encoder"]["blocks_0"]["self_attn"]["q"]["mask"]
+    assert np.asarray(keep).all()
+    assert not np.allclose(np.asarray(w_old), np.asarray(w_new))
+    assert np.isfinite(np.asarray(w_new)).all()

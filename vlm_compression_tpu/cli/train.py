@@ -78,6 +78,9 @@ def parse_args(argv=None):
                    help="asymmetric GPTQ grids (default symmetric)")
     p.add_argument("--gptq_actorder", action="store_true",
                    help="GPTQ desc_act column ordering")
+    p.add_argument("--gptq_awq", action="store_true",
+                   help="AWQ per-channel scale search before GPTQ "
+                        "(protects salient activation channels)")
     p.add_argument("--sparsity_dict", default=None)
     p.add_argument("--t5_model_prefix", default="t5_model")
     p.add_argument("--vit_model_prefix", default="visual_encoder")
@@ -249,7 +252,7 @@ def main(argv=None):
             softmask_lr=args.softmask_lr,
             gptq_bits=args.gptq_bits, gptq_group=args.gptq_group,
             gptq_sym=not args.gptq_asym,
-            gptq_actorder=args.gptq_actorder)
+            gptq_actorder=args.gptq_actorder, gptq_awq=args.gptq_awq)
         model, sparsity_mapping = pruner.prune(lora_model=args.train)
         timer_ctx.__exit__(None, None, None)
         runner.model = model

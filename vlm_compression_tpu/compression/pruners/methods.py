@@ -200,7 +200,8 @@ def softmask_mask_fn(prune_n: int = 0, prune_m: int = 0,
 
 def gptq_fn(prune_n: int = 0, prune_m: int = 0, bits: int = 4,
             groupsize: int = 128, sym: bool = True, act_order: bool = False,
-            blocksize: int = 128, percdamp: float = 0.01):
+            blocksize: int = 128, percdamp: float = 0.01,
+            awq: bool = False):
     """GPTQ quantization as a calibration-engine method (beyond-reference;
     ops/gptq.py).  sparsity == 0 → quantize-only (all-True keep masks);
     sparsity > 0 or n:m → JOINT sparse+quant in one OBS sweep.  Reuses the
@@ -208,6 +209,8 @@ def gptq_fn(prune_n: int = 0, prune_m: int = 0, bits: int = 4,
     Equal-shape linears batch into one vmapped program exactly like the
     SparseGPT path."""
 
+    from vlm_compression_tpu.ops.awq import (apply_awq, awq_search,
+                                             unscale_weight)
     from vlm_compression_tpu.ops.gptq import (gptq_quantize,
                                               gptq_quantize_batched)
 
@@ -221,6 +224,21 @@ def gptq_fn(prune_n: int = 0, prune_m: int = 0, bits: int = 4,
                       act_order=act_order, sparsity=sp, prune_n=prune_n,
                       prune_m=prune_m, blocksize=blocksize,
                       percdamp=percdamp)
+            if awq:
+                # per-layer AWQ scale search on the same stats, GPTQ on
+                # the scaled problem, fake-quant back in original space
+                for p in paths:
+                    h = finalize_hessian(stats[p])
+                    sc = awq_search(kernels[p].T, stats[p].scaler_row, h,
+                                    bits=bits, groupsize=groupsize, sym=sym)
+                    ws, hs = apply_awq(kernels[p].T, h, sc.s)
+                    res = gptq_quantize(ws, hs, **kw)
+                    jax.block_until_ready(res.weight)
+                    masks[p] = res.keep_mask.T
+                    new_k[p] = unscale_weight(
+                        res.weight, sc.s).astype(kernels[p].dtype).T
+                    imps[p] = jnp.mean(res.losses)
+                continue
             if len(paths) == 1:
                 res = gptq_quantize(
                     kernels[paths[0]].T,

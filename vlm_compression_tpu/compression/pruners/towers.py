@@ -82,6 +82,7 @@ class _MethodMixin:
     gptq_group: int = 128
     gptq_sym: bool = True
     gptq_actorder: bool = False
+    gptq_awq: bool = False
 
     def _build_mask_fn(self, lora_model: bool, tower: str = "llm"):
         if self.method in ("wanda", "ria"):
@@ -108,7 +109,7 @@ class _MethodMixin:
                 self.prune_n, self.prune_m, bits=self.gptq_bits,
                 groupsize=self.gptq_group, sym=self.gptq_sym,
                 act_order=self.gptq_actorder, blocksize=self.blocksize,
-                percdamp=self.percdamp)
+                percdamp=self.percdamp, awq=self.gptq_awq)
         raise ValueError(self.method)
 
     def _prune_tower(self, adapter, variables, batches, sparsity_for,
