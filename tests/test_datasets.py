@@ -372,3 +372,63 @@ def test_laion_webdataset_streaming(tmp_path):
     ids1 = {s["instance_id"] for s in p1}
     assert ids0 and ids1 and not (ids0 & ids1)
     assert len(ids0 | ids1) == 6
+
+
+def test_laion_streaming_through_dataloader(tmp_path):
+    """The production path: LaionDataset (iterable-only) driven by the
+    runner's DataLoader — batches by draining the stream, len() refuses
+    with a pointer at runner_iter, max_train_samples caps the stream."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from vlm_compression_tpu.datasets.items import LaionDataset, expand_braces
+    from vlm_compression_tpu.datasets.loaders import DataLoader
+
+    # multi-range brace patterns expand as a cross product
+    assert expand_braces("/x/{00..01}/{003..004}.tar") == [
+        "/x/00/003.tar", "/x/00/004.tar",
+        "/x/01/003.tar", "/x/01/004.tar"]
+
+    rng = np.random.RandomState(3)
+    with tarfile.open(tmp_path / "00000.tar", "w") as tf:
+        for i in range(5):
+            key = f"k{i}"
+            arr = rng.randint(0, 255, (40, 40, 3), np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG")
+            for ext, blob in ((".jpg", buf.getvalue()),
+                              (".json", json.dumps(
+                                  {"caption": f"cap {key}"}).encode())):
+                info = tarfile.TarInfo(key + ext)
+                info.size = len(blob)
+                tf.addfile(info, io.BytesIO(blob))
+
+    builder = load_builder("laion2B_multi", {
+        "build_info": {"storage": str(tmp_path / "{00000..00000}.tar")},
+        "vis_processor": {"train": {"name": "blip_image_eval",
+                                    "image_size": 32}},
+        "text_processor": {"train": {"name": "blip_caption"}},
+    })
+
+    # --max_train_samples flows through the builder into the stream cap
+    capped = builder.build_datasets(max_train_samples=2)["train"]
+    assert len(list(capped)) == 2
+
+    ds = builder.build_datasets()["train"]
+    loader = DataLoader(ds, batch_size=2, drop_last=False)
+    with pytest.raises(TypeError):
+        len(loader)
+    batches = list(loader)
+    assert [b["image"].shape[0] for b in batches] == [2, 2, 1]
+    assert batches[0]["image"].shape[1:] == (32, 32, 3)
+
+    loader2 = DataLoader(ds, batch_size=2, drop_last=True)
+    assert [b["image"].shape[0] for b in loader2] == [2, 2]
+
+    # a storage path where NO shard exists refuses loudly
+    with pytest.raises(FileNotFoundError):
+        LaionDataset(builder._processor("vis", "train"),
+                     builder._processor("text", "train"),
+                     str(tmp_path / "nope" / "{00000..00002}.tar"))

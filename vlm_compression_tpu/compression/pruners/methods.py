@@ -225,19 +225,35 @@ def gptq_fn(prune_n: int = 0, prune_m: int = 0, bits: int = 4,
                       prune_m=prune_m, blocksize=blocksize,
                       percdamp=percdamp)
             if awq:
-                # per-layer AWQ scale search on the same stats, GPTQ on
-                # the scaled problem, fake-quant back in original space
-                for p in paths:
+                # AWQ scale search on the same stats, GPTQ on the scaled
+                # problem, fake-quant back in original space.  Equal-shape
+                # linears batch into ONE search+sweep program (one host
+                # sync per group, not per linear) like the plain path.
+                search = functools.partial(awq_search, bits=bits,
+                                           groupsize=groupsize, sym=sym)
+                if len(paths) == 1:
+                    p = paths[0]
                     h = finalize_hessian(stats[p])
-                    sc = awq_search(kernels[p].T, stats[p].scaler_row, h,
-                                    bits=bits, groupsize=groupsize, sym=sym)
+                    sc = search(kernels[p].T, stats[p].scaler_row, h)
                     ws, hs = apply_awq(kernels[p].T, h, sc.s)
                     res = gptq_quantize(ws, hs, **kw)
-                    jax.block_until_ready(res.weight)
-                    masks[p] = res.keep_mask.T
+                    res = jax.tree.map(lambda a: a[None], res)
+                    s_all = sc.s[None]
+                else:
+                    ws = jnp.stack([kernels[p].T for p in paths])
+                    hs = jnp.stack([finalize_hessian(stats[p])
+                                    for p in paths])
+                    srs = jnp.stack([stats[p].scaler_row for p in paths])
+                    sc = jax.vmap(search)(ws, srs, hs)
+                    wsc, hsc = jax.vmap(apply_awq)(ws, hs, sc.s)
+                    res = gptq_quantize_batched(wsc, hsc, **kw)
+                    s_all = sc.s
+                jax.block_until_ready(res.weight)
+                for i, p in enumerate(paths):
+                    masks[p] = res.keep_mask[i].T
                     new_k[p] = unscale_weight(
-                        res.weight, sc.s).astype(kernels[p].dtype).T
-                    imps[p] = jnp.mean(res.losses)
+                        res.weight[i], s_all[i]).astype(kernels[p].dtype).T
+                    imps[p] = jnp.mean(res.losses[i])
                 continue
             if len(paths) == 1:
                 res = gptq_quantize(

@@ -146,10 +146,15 @@ class Laion2BMultiBuilder(BaseDatasetBuilder):
     train_dataset_cls = I.LaionDataset
 
     def build_datasets(self, max_train_samples: Optional[int] = None):
+        import jax
+
         info = _get(self.config, "build_info", {}) or {}
         storage = _get(info, "storage", "")
         ds = I.LaionDataset(
             vis_processor=self._processor("vis", "train"),
             text_processor=self._processor("text", "train"),
-            location=storage)
+            location=storage,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+            max_samples=max_train_samples)
         return {"train": ds}

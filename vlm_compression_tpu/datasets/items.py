@@ -322,16 +322,19 @@ class VideoDialogueDataset(_VideoFramesMixin, BaseItemDataset):
 
 
 def expand_braces(pattern: str) -> List[str]:
-    """Expand one webdataset-style ``{00000..01743}`` numeric brace range
+    """Expand EVERY webdataset-style ``{00000..01743}`` numeric brace range
     (the reference's laion storage pattern,
-    configs/datasets/laion/defaults_2B_multi.yaml)."""
+    configs/datasets/laion/defaults_2B_multi.yaml); multiple ranges
+    expand as a cross product."""
     m = re.search(r"\{(\d+)\.\.(\d+)\}", pattern)
     if m is None:
         return [pattern]
     lo, hi = m.group(1), m.group(2)
     width = len(lo)
-    return [pattern[: m.start()] + str(i).zfill(width) + pattern[m.end():]
-            for i in range(int(lo), int(hi) + 1)]
+    heads = [pattern[: m.start()] + str(i).zfill(width)
+             for i in range(int(lo), int(hi) + 1)]
+    return [h + tail for h in heads
+            for tail in expand_braces(pattern[m.end():])]
 
 
 class LaionDataset:
@@ -349,14 +352,22 @@ class LaionDataset:
     """
 
     def __init__(self, vis_processor, text_processor, location,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 max_samples: Optional[int] = None):
         self.vis_processor = vis_processor
         self.text_processor = text_processor
         pats = [location] if isinstance(location, str) else list(location)
         shards: List[str] = []
         for p in pats:
             shards.extend(expand_braces(p))
+        if shards and not any(os.path.exists(s) for s in shards):
+            raise FileNotFoundError(
+                f"no laion shard exists under {pats} "
+                f"({len(shards)} candidates, first: {shards[0]})")
         self.shards = shards[process_index::process_count]
+        # per-host cap: build_datasets splits --max_train_samples across
+        # builders, each host stops after its own max_samples
+        self.max_samples = max_samples
         self.collater = BaseItemDataset.collater.__get__(self)
 
     def _decode(self, key, blobs) -> Optional[Dict[str, Any]]:
@@ -383,9 +394,12 @@ class LaionDataset:
 
     def __iter__(self):
         import tarfile
+        import warnings
 
+        yielded = 0
         for shard in self.shards:
             if not os.path.exists(shard):
+                warnings.warn(f"laion shard missing, skipping: {shard}")
                 continue
             with tarfile.open(shard) as tf:
                 cur_key, blobs = None, {}
@@ -398,6 +412,10 @@ class LaionDataset:
                         s = self._decode(cur_key, blobs)
                         if s is not None:
                             yield s
+                            yielded += 1
+                            if (self.max_samples is not None
+                                    and yielded >= self.max_samples):
+                                return
                         blobs = {}
                     cur_key = key
                     blobs[ext.lower()] = tf.extractfile(member).read()
@@ -405,3 +423,7 @@ class LaionDataset:
                     s = self._decode(cur_key, blobs)
                     if s is not None:
                         yield s
+                        yielded += 1
+                        if (self.max_samples is not None
+                                and yielded >= self.max_samples):
+                            return

@@ -57,6 +57,14 @@ class DataLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    @property
+    def _streaming(self) -> bool:
+        """Iterable-only datasets (e.g. LaionDataset tar streams) have no
+        __len__/__getitem__; they batch by draining the iterator.  Cross-
+        host sharding happens INSIDE such datasets (shard-level
+        process_index slicing), not by index arithmetic here."""
+        return not hasattr(self.dataset, "__len__")
+
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
         idx = np.arange(n)
@@ -71,11 +79,27 @@ class DataLoader:
         return idx
 
     def __len__(self):
+        if self._streaming:
+            raise TypeError(
+                "streaming dataset has no length — drive it with "
+                "runner_iter / iters_per_inner_epoch instead of epoch "
+                "counts")
         n = len(self._indices())
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
+        if self._streaming:
+            buf = []
+            for item in self.dataset:
+                buf.append(item)
+                if len(buf) == self.batch_size:
+                    yield (self.collate_fn(buf) if self.collate_fn
+                           else buf)
+                    buf = []
+            if buf and not self.drop_last:
+                yield self.collate_fn(buf) if self.collate_fn else buf
+            return
         idx = self._indices()
         bs = self.batch_size
         stop = len(idx) - (len(idx) % bs) if self.drop_last else len(idx)

@@ -122,7 +122,15 @@ def _gptq_impl(
     Hinv = damped_cholesky(Hinv_full, damp2).T  # upper factor
 
     # --- group / block geometry ------------------------------------------
-    if groupsize <= 0 or cols % groupsize != 0:
+    import warnings
+
+    if groupsize <= 0:
+        groupsize = cols                      # explicit per-tensor grids
+    elif cols % groupsize != 0:
+        warnings.warn(
+            f"gptq: groupsize {groupsize} does not divide in_features "
+            f"{cols}; falling back to ONE per-tensor grid per row "
+            f"(coarser than requested)", stacklevel=2)
         groupsize = cols
     if cols % blocksize != 0:
         blocksize = cols
@@ -131,6 +139,10 @@ def _gptq_impl(
     elif groupsize % blocksize == 0:
         pass  # group spans whole blocks; entry check still i1+i % G == 0
     else:
+        warnings.warn(
+            f"gptq: groupsize {groupsize} incompatible with blocksize "
+            f"{blocksize} (neither divides the other); falling back to "
+            f"ONE per-tensor grid per row", stacklevel=2)
         groupsize = cols
     G = groupsize
     B = blocksize
