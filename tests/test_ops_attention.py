@@ -1,0 +1,135 @@
+"""Flash-attention kernel vs the naive reference (interpret mode on CPU).
+
+The Pallas kernel must match ``mha_reference`` — which itself matches the
+towers' inline einsum→softmax→einsum blocks (eva_vit.py:90-141,
+modeling_t5.py:491-653 semantics) — across bias shapes, causal masking,
+unaligned sequence lengths, and head dims needing lane padding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlm_compression_tpu.ops.attention import (
+    NEG_INF, attention_core, mha_reference, use_flash_attention)
+
+
+@pytest.fixture(autouse=True)
+def _force_kernel():
+    use_flash_attention(True)   # interpret mode off-TPU
+    yield
+    use_flash_attention("auto")
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+
+def _check(q, k, v, biases=(), scale=1.0, causal=False, atol=2e-5):
+    got = attention_core(q, k, v, biases, scale=scale, causal=causal)
+    want = mha_reference(q, k, v, [b for b in biases if b is not None],
+                         scale=scale, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=atol, rtol=1e-4)
+
+
+def test_plain_aligned():
+    rng = np.random.default_rng(0)
+    q = _rand(rng, 2, 256, 2, 128)
+    k = _rand(rng, 2, 256, 2, 128)
+    v = _rand(rng, 2, 256, 2, 128)
+    _check(q, k, v, scale=128 ** -0.5)
+
+
+def test_unaligned_vit_shape():
+    """EVA ViT-g: 257 tokens, head_dim 88 — both need padding."""
+    rng = np.random.default_rng(1)
+    q = _rand(rng, 2, 257, 3, 88)
+    k = _rand(rng, 2, 257, 3, 88)
+    v = _rand(rng, 2, 257, 3, 88)
+    _check(q, k, v, scale=88 ** -0.5)
+
+
+def test_t5_bias_terms():
+    """Relative-position bias (1,h,n,m) + padding mask (b,1,1,m), no
+    scale (T5 folds it into init), d_kv=64 lane padding."""
+    rng = np.random.default_rng(2)
+    b, n, m, h, d = 2, 200, 200, 4, 64
+    q, k, v = (_rand(rng, b, n, h, d) * 0.3 for _ in range(3))
+    pos = _rand(rng, 1, h, n, m)
+    mask = jnp.where(jnp.asarray(rng.random((b, 1, 1, m))) < 0.2,
+                     NEG_INF, 0.0).astype(jnp.float32)
+    _check(q, k, v, [pos, mask])
+
+
+def test_none_biases_dropped():
+    rng = np.random.default_rng(3)
+    q = k = v = _rand(rng, 1, 128, 1, 128)
+    _check(q, k, v, [None, None], scale=0.1)
+
+
+def test_causal_square():
+    rng = np.random.default_rng(4)
+    q = _rand(rng, 2, 320, 2, 64)
+    k = _rand(rng, 2, 320, 2, 64)
+    v = _rand(rng, 2, 320, 2, 64)
+    _check(q, k, v, scale=0.125, causal=True)
+
+
+def test_causal_rectangular():
+    """Right-aligned causal with m > n (cache-priming convention):
+    query i sees keys j ≤ i + (m − n) — REAL offsets, not padded ones."""
+    rng = np.random.default_rng(5)
+    q = _rand(rng, 1, 130, 2, 64)
+    k = _rand(rng, 1, 250, 2, 64)
+    v = _rand(rng, 1, 250, 2, 64)
+    _check(q, k, v, scale=0.125, causal=True)
+
+
+def test_fully_masked_rows_match_reference():
+    """A row whose every key is masked degrades to the uniform average in
+    BOTH paths (softmax over all-NEG_INF)."""
+    rng = np.random.default_rng(6)
+    b, n, m, h, d = 1, 128, 128, 1, 64
+    q, k, v = (_rand(rng, b, n, h, d) for _ in range(3))
+    mask = jnp.full((b, 1, 1, m), NEG_INF, jnp.float32)
+    _check(q, k, v, [mask], scale=0.125, atol=1e-4)
+
+
+def test_bf16_inputs():
+    rng = np.random.default_rng(7)
+    q = _rand(rng, 1, 256, 2, 128).astype(jnp.bfloat16)
+    k = _rand(rng, 1, 256, 2, 128).astype(jnp.bfloat16)
+    v = _rand(rng, 1, 256, 2, 128).astype(jnp.bfloat16)
+    _check(q, k, v, scale=128 ** -0.5, atol=2e-2)
+
+
+def test_gradients_match_reference():
+    """custom_vjp backward = exact VJP of the reference, including the
+    bias gradients (T5's position bias is trainable)."""
+    rng = np.random.default_rng(8)
+    b, n, m, h, d = 1, 160, 160, 2, 64
+    q, k, v = (_rand(rng, b, n, h, d) * 0.3 for _ in range(3))
+    pos = _rand(rng, 1, h, n, m) * 0.1
+
+    def loss_flash(q_, k_, v_, p_):
+        return jnp.sum(attention_core(q_, k_, v_, [p_], scale=0.125) ** 2)
+
+    def loss_ref(q_, k_, v_, p_):
+        return jnp.sum(mha_reference(q_, k_, v_, [p_], scale=0.125) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, pos)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, pos)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_auto_dispatch_uses_reference_off_tpu():
+    use_flash_attention("auto")
+    rng = np.random.default_rng(9)
+    q = k = v = _rand(rng, 1, 128, 1, 64)
+    got = attention_core(q, k, v, scale=0.125)
+    want = mha_reference(q, k, v, (), scale=0.125)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))

@@ -56,3 +56,8 @@ from vlm_compression_tpu.ops.gptq import (  # noqa: F401
     gptq_quantize_batched,
     rtn_quantize,
 )
+from vlm_compression_tpu.ops.attention import (  # noqa: F401
+    attention_core,
+    mha_reference,
+    use_flash_attention,
+)

@@ -1,0 +1,282 @@
+"""Fused flash attention — the shared attention core of every tower.
+
+Every tower in the reference materializes the full score matrix in HBM:
+``scores = q·kᵀ (+bias) → softmax → ·v`` (eva_vit.py:90-141,
+modeling_t5.py:491-653, modeling_llama.py:161-280).  XLA cannot fuse a
+softmax BETWEEN two matmuls, so at prefill/training shapes the
+(b, h, n, m) probability tensor makes two full HBM round-trips per
+layer.  This kernel computes attention blockwise with an online softmax
+(the flash-attention recurrence): scores only ever exist as a
+(block_q, block_k) tile in VMEM, and HBM traffic drops from
+O(b·h·n·m) to O(b·h·n·d).
+
+Semantics match the towers' naive path exactly:
+  s   = (q · kᵀ) * scale + Σ bias_i          (fp32 on the MXU)
+  p   = softmax(s, axis=-1)                   (fp32)
+  out = p.astype(v.dtype) · v                 (MXU, fp32 accumulate)
+
+Bias terms are ADDITIVE fp32 arrays broadcastable to (b, h, n, m) —
+the towers' relative-position bias (1, h, n, m) and padding/causal
+masks (b, 1, 1, m) pass through unmaterialized at their broadcast
+shape; the kernel indexes the original small array per tile.
+
+Layout: q (b, n, h, d), k/v (b, m, h, d) — the layout every tower
+already has after the head reshape, so integration costs one transpose
+to (b, h, n, d) which XLA folds into the projection's output layout.
+
+Backward: recompute-based ``jax.custom_vjp`` — gradients are the exact
+VJP of the naive reference (one extra softmax recompute, the same trade
+``jax.checkpoint`` makes).  Sequences in this framework are ≤ ~1k, so
+the O(n·m) transient in the backward is cheap; the forward is where
+serving/prefill time goes.
+
+Dispatch mirrors ops/masked_linear.py: "auto" uses the Pallas kernel on
+TPU for q_len ≥ 128 (prefill/training shapes; decode steps stay on the
+XLA path where dispatch latency dominates), False forces the reference,
+True forces the kernel.  CPU/interpret mode is used by the tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9  # matches the towers' additive-mask constant
+
+
+# ---------------------------------------------------------------------------
+# Naive reference (always correct; CPU path, decode path, backward).
+# ---------------------------------------------------------------------------
+
+
+def mha_reference(q, k, v, biases: Sequence[jax.Array] = (),
+                  scale: float = 1.0, causal: bool = False):
+    """q (b,n,h,d), k/v (b,m,h,d), biases broadcastable to (b,h,n,m)."""
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    for bias in biases:
+        s = s + bias.astype(jnp.float32)
+    if causal:
+        n, m = s.shape[-2], s.shape[-1]
+        # query i attends keys j ≤ i + (m - n) (aligned right, the decode
+        # priming convention every tower uses)
+        vis = (jnp.arange(m)[None, :] <= jnp.arange(n)[:, None] + (m - n))
+        s = jnp.where(vis[None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", p, v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash kernel.
+# Grid (b, h, n/bq, m/bk); the kv dimension is innermost-sequential and
+# carries the online-softmax state (m, l, acc) in VMEM scratch.
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(*refs, scale: float, causal: bool, nbias: int,
+                  bq: int, bk: int, causal_off: int):
+    q_ref, k_ref, v_ref = refs[:3]
+    bias_refs = refs[3:3 + nbias]
+    o_ref = refs[3 + nbias]
+    acc_ref, m_ref, l_ref = refs[4 + nbias:]
+
+    kv_i = pl.program_id(3)
+    q_i = pl.program_id(2)  # hoisted: program_id inside a pl.when body
+    # sits in a lax.cond branch the interpreter cannot substitute
+
+    @pl.when(kv_i == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if causal:
+        # skip blocks strictly above the (right-aligned) diagonal;
+        # causal_off = m - n in REAL (unpadded) positions
+        run = kv_i * bk <= q_i * bq + (bq - 1) + causal_off
+    else:
+        run = True
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0]                                  # (bq, d)
+        k = k_ref[0, 0]                                  # (bk, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (bq, bk)
+        for b_ref in bias_refs:
+            s = s + b_ref[0, 0].astype(jnp.float32)      # (bq|1, bk)
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            vis = (kv_i * bk + cols) <= (q_i * bq + rows + causal_off)
+            s = jnp.where(vis, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]                            # (bq, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)                           # (bq, bk) fp32
+        alpha = jnp.exp(m_prev - m_new)                  # (bq, 1)
+        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bq, d)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(kv_i == pl.num_programs(3) - 1)
+    def _():
+        # fully-masked rows (all-NEG_INF, l→uniform) match the reference:
+        # NEG_INF keeps m finite, so l ≥ bk·exp(0) > 0 — no 0/0
+        o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _bias_spec(bias, b, h, bq, bk):
+    """BlockSpec for a bias broadcastable to (b, h, n_pad, m_pad):
+    size-1 axes pin their block dim to 1 and index to 0."""
+    bb, bh, bn, _ = bias.shape
+    blk = (1, 1, bq if bn > 1 else 1, bk)
+
+    def idx(bi, hi, qi, ki):
+        return (bi if bb > 1 else 0, hi if bh > 1 else 0,
+                qi if bn > 1 else 0, ki)
+
+    return pl.BlockSpec(blk, idx)
+
+
+def _flash_attention_pallas(q, k, v, biases, scale, causal,
+                            block_q: int = 256, block_k: int = 256,
+                            interpret: bool = False):
+    """q (b,n,h,d) → out (b,n,h,d).  Pads n/m to block multiples and d to
+    a lane multiple (128); padded kv columns are masked with NEG_INF via
+    an extra bias term, padded q rows/d columns are sliced off."""
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    bq = min(block_q, _round_up(n, 128))
+    bk = min(block_k, _round_up(m, 128))
+    n_pad, m_pad = _round_up(n, bq), _round_up(m, bk)
+    d_pad = _round_up(d, 128)
+
+    def to_bhnd(x, length):
+        x = jnp.transpose(x, (0, 2, 1, 3))  # (b, h, len, d)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, length - x.shape[2]),
+                           (0, d_pad - d)))
+
+    qp, kp, vp = to_bhnd(q, n_pad), to_bhnd(k, m_pad), to_bhnd(v, m_pad)
+
+    biases = [jnp.asarray(x, jnp.float32) for x in biases]
+    if m_pad > m:
+        pad_mask = jnp.full((1, 1, 1, m_pad), NEG_INF, jnp.float32)
+        pad_mask = pad_mask.at[..., :m].set(0.0)
+        biases = list(biases) + [pad_mask]
+    biases = [jnp.pad(x, [(0, 0), (0, 0),
+                          (0, (n_pad - x.shape[2]) if x.shape[2] > 1 else 0),
+                          (0, m_pad - x.shape[3])])
+              for x in biases]
+
+    grid = (b, h, n_pad // bq, m_pad // bk)
+    kern = functools.partial(
+        _flash_kernel, scale=float(scale), causal=causal,
+        nbias=len(biases), bq=bq, bk=bk, causal_off=m - n)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+        ] + [_bias_spec(x, b, h, bq, bk) for x in biases],
+        out_specs=pl.BlockSpec((1, 1, bq, d_pad),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d_pad), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, *biases)
+    return jnp.transpose(out[:, :, :n, :d], (0, 2, 1, 3))
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper: flash forward, recompute-reference backward.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_attention(q, k, v, biases, scale, causal, interpret):
+    return _flash_attention_pallas(q, k, v, biases, scale, causal,
+                                   interpret=interpret)
+
+
+def _flash_fwd(q, k, v, biases, scale, causal, interpret):
+    out = _flash_attention_pallas(q, k, v, biases, scale, causal,
+                                  interpret=interpret)
+    return out, (q, k, v, biases)
+
+
+def _flash_bwd(scale, causal, interpret, res, g):
+    q, k, v, biases = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, bs: mha_reference(q_, k_, v_, bs, scale, causal),
+        q, k, v, tuple(biases))
+    dq, dk, dv, dbs = vjp(g)
+    return dq, dk, dv, list(dbs)
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public dispatching API.
+# ---------------------------------------------------------------------------
+
+# "auto" — Pallas kernel on TPU at prefill/training shapes (q_len ≥ 128),
+#          XLA reference otherwise (decode steps, CPU, tiny shapes)
+# True    — force the kernel (interpret mode off-TPU; used by tests)
+# False   — always the reference
+_USE_FLASH = "auto"
+_MIN_Q_LEN = 128
+
+
+def use_flash_attention(enable) -> None:
+    """enable ∈ {True, False, "auto"}."""
+    global _USE_FLASH
+    _USE_FLASH = enable
+
+
+def attention_core(q, k, v, biases: Sequence[Optional[jax.Array]] = (),
+                   scale: float = 1.0, causal: bool = False):
+    """Shared attention core for every tower.
+
+    q (b, n, h, d) · k/v (b, m, h, d) → (b, n, h, d); ``biases`` are
+    additive fp32 terms broadcastable to (b, h, n, m) (None entries are
+    dropped).  ``scale`` multiplies q·kᵀ (T5 passes 1.0 — its init folds
+    the scale); ``causal`` applies the right-aligned causal mask.
+    """
+    biases = [x for x in biases if x is not None]
+    use = _USE_FLASH
+    if use == "auto":
+        use = (jax.default_backend() == "tpu"
+               and q.shape[1] >= _MIN_Q_LEN)
+        interpret = False
+    else:
+        interpret = bool(use) and jax.default_backend() != "tpu"
+    if not use:
+        return mha_reference(q, k, v, biases, scale, causal)
+    return _flash_attention(q, k, v, biases, float(scale), bool(causal),
+                            interpret)
