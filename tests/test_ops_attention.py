@@ -133,3 +133,43 @@ def test_auto_dispatch_uses_reference_off_tpu():
     got = attention_core(q, k, v, scale=0.125)
     want = mha_reference(q, k, v, (), scale=0.125)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_tiny_t5_tower_parity():
+    """Whole-tower check: tiny T5 forward (rel-pos bias + padding mask
+    threading through attention_core) is identical under the forced
+    kernel and the reference path."""
+    from vlm_compression_tpu.models.t5 import T5Config, T5ForConditionalGeneration
+
+    cfg = T5Config.tiny(dtype="float32", param_dtype="float32")
+    model = T5ForConditionalGeneration(cfg)
+    rng = np.random.default_rng(10)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)))
+    dec = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)))
+    amask = jnp.asarray([[1] * 12, [1] * 7 + [0] * 5])
+    params = model.init(jax.random.PRNGKey(0), ids, amask, dec)
+
+    use_flash_attention(False)
+    want = model.apply(params, ids, amask, dec)
+    use_flash_attention(True)
+    got = model.apply(params, ids, amask, dec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_tiny_vit_tower_parity():
+    from vlm_compression_tpu.models.eva_vit import EvaViT, EvaViTConfig
+
+    cfg = EvaViTConfig.tiny(dtype="float32", param_dtype="float32")
+    model = EvaViT(cfg)
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.standard_normal(
+        (2, cfg.img_size, cfg.img_size, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img)
+
+    use_flash_attention(False)
+    want = model.apply(params, img)
+    use_flash_attention(True)
+    got = model.apply(params, img)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)

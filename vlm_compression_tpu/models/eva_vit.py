@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from vlm_compression_tpu.models.layers import SparseLinear
+from vlm_compression_tpu.ops.attention import attention_core
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,11 +80,7 @@ class EvaAttention(nn.Module):
         qkv = qkv.reshape(b, n, 3, cfg.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
 
-        scale = head_dim ** -0.5
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        out = attention_core(q, k, v, scale=head_dim ** -0.5)
         out = out.reshape(b, n, dim)
         return SparseLinear(dim, param_dtype=pdt, lora_rank=cfg.lora_rank,
                             lora_alpha=cfg.lora_alpha, name="proj")(out, mode=mode)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vlm_compression_tpu.models.layers import SparseLinear
+from vlm_compression_tpu.ops.attention import attention_core
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,12 +103,7 @@ class OPTAttention(nn.Module):
                 step = jnp.where(vis, 0.0, -1e9)
                 mask = step if mask is None else mask + step
 
-        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                            preferred_element_type=jnp.float32)
-        if mask is not None:
-            scores = scores + mask
-        attn = nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(
+        out = attention_core(q, k, v, [mask], scale=1.0).reshape(
             b, n, cfg.hidden_size)
         return sl("out_proj")(out, mode=mode)
 

@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from vlm_compression_tpu.models.layers import SparseLinear
+from vlm_compression_tpu.ops.attention import attention_core
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,12 +71,9 @@ class BertSelfAttention(nn.Module):
         q = q.reshape(b, n, h, d)
         k = k.reshape(b, m, h, d)
         v = v.reshape(b, m, h, d)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) / (d ** 0.5)
-        if mask is not None:
-            attn = attn + jnp.where(mask, 0.0, -1e9)
-        attn = nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, h * d)
+        bias = None if mask is None else jnp.where(mask, 0.0, -1e9)
+        out = attention_core(q, k, v, [bias],
+                             scale=float(d) ** -0.5).reshape(b, n, h * d)
         return out
 
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vlm_compression_tpu.models.layers import SparseLinear
+from vlm_compression_tpu.ops.attention import attention_core
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,14 +182,8 @@ class T5Attention(nn.Module):
                         (1, cfg.num_heads, n, max_len))
 
         # no 1/sqrt(d): T5 folds it into init
-        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                            preferred_element_type=jnp.float32)
-        if position_bias is not None:
-            scores = scores + position_bias
-        if mask is not None:
-            scores = scores + mask
-        attn = nn.softmax(scores, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
+        out = attention_core(q, k, v, [position_bias, mask],
+                             scale=1.0).reshape(b, n, inner)
         return SparseLinear(cfg.d_model, use_bias=False, param_dtype=pdt,
                             lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
                             name="o")(out, mode=mode)

@@ -268,7 +268,8 @@ def attention_core(q, k, v, biases: Sequence[Optional[jax.Array]] = (),
     dropped).  ``scale`` multiplies q·kᵀ (T5 passes 1.0 — its init folds
     the scale); ``causal`` applies the right-aligned causal mask.
     """
-    biases = [x for x in biases if x is not None]
+    biases = [x.reshape((1,) * (4 - x.ndim) + x.shape) if x.ndim < 4 else x
+              for x in biases if x is not None]
     use = _USE_FLASH
     if use == "auto":
         use = (jax.default_backend() == "tpu"
