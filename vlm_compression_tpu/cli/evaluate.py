@@ -295,10 +295,12 @@ def main(argv=None):
     if args.autotune:
         import jax as _jax
 
-        from vlm_compression_tpu.ops.autotune import autotune_masked_matmul
+        from vlm_compression_tpu.ops.autotune import (
+            autotune_attention, autotune_masked_matmul)
 
         if _jax.default_backend() == "tpu":
             autotune_masked_matmul(verbose=False)
+            autotune_attention(verbose=False)
         else:
             logging.info("--autotune skipped: not on a TPU backend")
 

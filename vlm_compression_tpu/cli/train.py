@@ -272,6 +272,7 @@ def main(argv=None):
 
             if _jax.default_backend() == "tpu":
                 from vlm_compression_tpu.ops.autotune import (
+                    autotune_attention,
                     autotune_masked_matmul,
                     autotune_sparse_lora,
                 )
@@ -279,6 +280,7 @@ def main(argv=None):
                 autotune_masked_matmul(verbose=False)
                 # the SparseLoRA forward is the hot op during KD retraining
                 autotune_sparse_lora(verbose=False)
+                autotune_attention(verbose=False)
             else:
                 logging.info("--autotune skipped: not on a TPU backend")
         t0 = time.perf_counter()

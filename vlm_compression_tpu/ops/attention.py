@@ -217,19 +217,21 @@ def _flash_attention_pallas(q, k, v, biases, scale, causal,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_attention(q, k, v, biases, scale, causal, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention(q, k, v, biases, scale, causal, interpret, blocks):
     return _flash_attention_pallas(q, k, v, biases, scale, causal,
+                                   block_q=blocks[0], block_k=blocks[1],
                                    interpret=interpret)
 
 
-def _flash_fwd(q, k, v, biases, scale, causal, interpret):
+def _flash_fwd(q, k, v, biases, scale, causal, interpret, blocks):
     out = _flash_attention_pallas(q, k, v, biases, scale, causal,
+                                  block_q=blocks[0], block_k=blocks[1],
                                   interpret=interpret)
     return out, (q, k, v, biases)
 
 
-def _flash_bwd(scale, causal, interpret, res, g):
+def _flash_bwd(scale, causal, interpret, blocks, res, g):
     q, k, v, biases = res
     _, vjp = jax.vjp(
         lambda q_, k_, v_, bs: mha_reference(q_, k_, v_, bs, scale, causal),
@@ -270,14 +272,27 @@ def attention_core(q, k, v, biases: Sequence[Optional[jax.Array]] = (),
     """
     biases = [x.reshape((1,) * (4 - x.ndim) + x.shape) if x.ndim < 4 else x
               for x in biases if x is not None]
+    blocks = (256, 256)
     use = _USE_FLASH
     if use == "auto":
         use = (jax.default_backend() == "tpu"
                and q.shape[1] >= _MIN_Q_LEN)
+        if use:
+            # tuned per-shape decisions refine block sizes and can flip
+            # pathological shapes back to XLA (ops/autotune.py "attn:")
+            from vlm_compression_tpu.ops.autotune import lookup_attention
+
+            b, n, h, d = q.shape
+            dec = lookup_attention(b, h, n, k.shape[1], d, str(q.dtype))
+            if dec is not None:
+                if dec["backend"] != "pallas":
+                    use = False
+                elif dec["tiles"]:
+                    blocks = tuple(dec["tiles"])
         interpret = False
     else:
         interpret = bool(use) and jax.default_backend() != "tpu"
     if not use:
         return mha_reference(q, k, v, biases, scale, causal)
     return _flash_attention(q, k, v, biases, float(scale), bool(causal),
-                            interpret)
+                            interpret, blocks)

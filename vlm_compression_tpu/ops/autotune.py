@@ -419,3 +419,115 @@ def autotune_sparse_lora(shapes=None, r: int = 8, dtype: str = "bfloat16",
         out[_lora_key(m, k, n, dtype)] = tune_sparse_lora_matmul(
             m, k, n, r=r, dtype=dtype, iters=iters, verbose=verbose)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Flash attention: fused online-softmax kernel vs XLA's materialized
+# scores path (ops/attention.py).  Decision family "attn:" keyed on
+# (batch, heads, q_len, kv_len, head_dim, dtype); the value's "tiles"
+# field holds [block_q, block_k].  Unknown shapes keep the structural
+# default (kernel at q_len ≥ 128): unlike the masked matmul — where XLA
+# fuses the mask into the dot and is a legitimate winner — XLA cannot
+# fuse a softmax between two matmuls, so the kernel default is sound and
+# tuning only refines block sizes / catches pathological shapes.
+# ---------------------------------------------------------------------------
+
+
+def _attn_key(b: int, h: int, n: int, m: int, d: int, dtype: str) -> str:
+    return f"attn:{b},{h},{n},{m},{d},{dtype}"
+
+
+def lookup_attention(b: int, h: int, n: int, m: int, d: int,
+                     dtype: str) -> Optional[dict]:
+    return _load_cache().get(_attn_key(b, h, n, m, d, dtype))
+
+
+def _attn_block_candidates(n: int, m: int):
+    cands = []
+    for bq in (256, 128, 512):
+        for bk in (256, 128, 512):
+            if bq * bk <= 512 * 256:      # keep the score tile comfortably
+                cands.append((bq, bk))    # inside VMEM with q/k/v/acc
+    return cands
+
+
+def tune_attention(b: int, h: int, n: int, m: int, d: int,
+                   dtype: str = "bfloat16", causal: bool = False,
+                   with_bias: bool = True, iters: int = 10,
+                   verbose: bool = False) -> dict:
+    """Measure the XLA reference vs flash block candidates for one
+    attention shape class; record and return the decision."""
+    from vlm_compression_tpu.ops import attention as at
+
+    cache = _load_cache()
+    key = _attn_key(b, h, n, m, d, dtype)
+    if key in cache:
+        return cache[key]
+    if jax.default_backend() != "tpu":
+        return {"backend": "xla", "tiles": None,
+                "pallas_us": None, "xla_us": None}
+
+    jdt = jnp.dtype(dtype)
+    kq, kk, kv, kb = jax.random.split(jax.random.key(0), 4)
+    q = jax.random.normal(kq, (b, n, h, d), jnp.float32).astype(jdt)
+    k = jax.random.normal(kk, (b, m, h, d), jnp.float32).astype(jdt)
+    v = jax.random.normal(kv, (b, m, h, d), jnp.float32).astype(jdt)
+    biases = []
+    if with_bias:
+        biases = [jnp.where(jax.random.bernoulli(kb, 0.9, (b, 1, 1, m)),
+                            0.0, -1e9).astype(jnp.float32)]
+    scale = float(d) ** -0.5
+
+    t_xla = time_call(
+        jax.jit(lambda q_, k_, v_: at.mha_reference(
+            q_, k_, v_, biases, scale, causal)), q, k, v, iters=iters)
+
+    best, t_pallas = None, float("inf")
+    for bq, bk in _attn_block_candidates(n, m):
+        try:
+            t = time_call(
+                jax.jit(lambda q_, k_, v_, bq=bq, bk=bk:
+                        at._flash_attention_pallas(
+                            q_, k_, v_, biases, scale, causal,
+                            block_q=bq, block_k=bk)),
+                q, k, v, iters=iters)
+        except Exception:
+            continue
+        if verbose:
+            print(f"  blocks ({bq},{bk}): {t * 1e6:.0f} us")
+        if t < t_pallas:
+            best, t_pallas = (bq, bk), t
+
+    decision = {
+        "backend": ("pallas" if t_pallas < t_xla else "xla"),
+        "tiles": list(best) if best else None,
+        "pallas_us": round(t_pallas * 1e6, 1) if best else None,
+        "xla_us": round(t_xla * 1e6, 1),
+    }
+    cache[key] = decision
+    _TUNED[key] = decision
+    _save_cache()
+    if verbose:
+        print(f"{key}: {decision}")
+    return decision
+
+
+# Flagship attention shape classes: EVA ViT-g prefill (batch 16, 257
+# tokens, 16 heads × 88), T5-XL long-sequence encoder (language-modeling
+# / retrieval batches), Vicuna-7B prefill (32 heads × 128, causal).
+ATTN_SHAPES = [
+    # (b, h, n, m, d, causal)
+    (16, 16, 257, 257, 88, False),
+    (8, 32, 512, 512, 64, False),
+    (4, 32, 512, 512, 128, True),
+]
+
+
+def autotune_attention(shapes=None, dtype: str = "bfloat16",
+                       iters: int = 10, verbose: bool = True) -> dict:
+    out = {}
+    for b, h, n, m, d, causal in (shapes or ATTN_SHAPES):
+        out[_attn_key(b, h, n, m, d, dtype)] = tune_attention(
+            b, h, n, m, d, dtype=dtype, causal=causal, iters=iters,
+            verbose=verbose)
+    return out
