@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from vlm_compression_tpu.common.registry import registry
 from vlm_compression_tpu.models.blip1 import _itc_loss
 from vlm_compression_tpu.models.layers import SparseLinear
+from vlm_compression_tpu.ops.attention import attention_core
 from vlm_compression_tpu.models.med import MedBert, MedConfig
 
 
@@ -68,12 +69,9 @@ def _mha(cfg, x, kv, name_q, name_k, name_v, name_o, mode):
     v = _sl(cfg, h * d, name_v)(kv, mode=mode)
     b, n, _ = x.shape
     m = kv.shape[1]
-    attn = jnp.einsum("bnhd,bmhd->bhnm", q.reshape(b, n, h, d),
-                      k.reshape(b, m, h, d),
-                      preferred_element_type=jnp.float32) / (d ** 0.5)
-    attn = nn.softmax(attn, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhnm,bmhd->bnhd", attn,
-                     v.reshape(b, m, h, d)).reshape(b, n, h * d)
+    out = attention_core(
+        q.reshape(b, n, h, d), k.reshape(b, m, h, d),
+        v.reshape(b, m, h, d), scale=float(d) ** -0.5).reshape(b, n, h * d)
     return _sl(cfg, cfg.embed_dim, name_o)(out, mode=mode)
 
 

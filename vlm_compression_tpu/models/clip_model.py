@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from vlm_compression_tpu.common.registry import registry
 from vlm_compression_tpu.models.eva_vit import EvaViT, EvaViTConfig
 from vlm_compression_tpu.models.layers import SparseLinear
+from vlm_compression_tpu.ops.attention import attention_core
 from vlm_compression_tpu.models.vit import ViT, ViTConfig
 
 
@@ -103,12 +104,8 @@ class ClipTextBlock(nn.Module):
         b, n, _ = x.shape
         q, k, v = jnp.split(qkv.reshape(b, n, 3, h, d), 3, axis=2)
         q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) / (d ** 0.5)
-        causal = jnp.arange(n)[None, :] <= jnp.arange(n)[:, None]
-        attn = jnp.where(causal[None, None], attn, -1e9)
-        attn = nn.softmax(attn, axis=-1).astype(x.dtype)
-        ctx = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, h * d)
+        ctx = attention_core(q, k, v, scale=float(d) ** -0.5,
+                             causal=True).reshape(b, n, h * d)
         x = x + _sl(cfg, cfg.width, "proj")(ctx, mode=mode)
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="ln_2")(x).astype(x.dtype)

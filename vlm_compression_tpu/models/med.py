@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from vlm_compression_tpu.models.layers import SparseLinear
+from vlm_compression_tpu.ops.attention import attention_core
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,14 +71,11 @@ class MedAttention(nn.Module):
         v = _sl(cfg, h * d, "value")(kv, mode=mode)
         b, n, _ = x.shape
         m = kv.shape[1]
-        attn = jnp.einsum(
-            "bnhd,bmhd->bhnm", q.reshape(b, n, h, d), k.reshape(b, m, h, d),
-            preferred_element_type=jnp.float32) / (d ** 0.5)
-        if mask is not None:
-            attn = attn + jnp.where(mask, 0.0, -1e9)
-        attn = nn.softmax(attn, axis=-1).astype(x.dtype)
-        ctx = jnp.einsum("bhnm,bmhd->bnhd", attn,
-                         v.reshape(b, m, h, d)).reshape(b, n, h * d)
+        bias = None if mask is None else jnp.where(mask, 0.0, -1e9)
+        ctx = attention_core(
+            q.reshape(b, n, h, d), k.reshape(b, m, h, d),
+            v.reshape(b, m, h, d), [bias],
+            scale=float(d) ** -0.5).reshape(b, n, h * d)
         out = _sl(cfg, cfg.hidden_size, "output_dense")(ctx, mode=mode)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                             name="output_ln")(out + x).astype(x.dtype)

@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from vlm_compression_tpu.models.layers import SparseLinear
+from vlm_compression_tpu.ops.attention import attention_core
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,10 +72,8 @@ class ViTAttention(nn.Module):
         b, n, _ = x.shape
         q, k, v = jnp.split(qkv.reshape(b, n, 3, h, d), 3, axis=2)
         q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) / (d ** 0.5)
-        attn = nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, h * d)
+        out = attention_core(q, k, v,
+                             scale=float(d) ** -0.5).reshape(b, n, h * d)
         return _sl(cfg, cfg.embed_dim, "proj")(out, mode=mode)
 
 
