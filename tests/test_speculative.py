@@ -1,0 +1,103 @@
+"""Speculative decoding: draft-and-verify greedy must reproduce the
+target model's plain greedy output token-for-token, for ANY draft.
+
+Reference has no speculative path (HF generate, blip2_t5_instruct.py:
+299-432) — this is a beyond-reference serving feature; correctness is
+defined against our own greedy_generate (itself HF-parity tested)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vlm_compression_tpu.models.generation import (
+    GenerationConfig, greedy_generate, make_t5_step, speculative_generate,
+    t5_generate, t5_speculative_generate)
+from vlm_compression_tpu.models.t5 import T5Config, T5ForConditionalGeneration
+
+
+def _t5(seed=0):
+    cfg = T5Config.tiny(dtype="float32", param_dtype="float32")
+    model = T5ForConditionalGeneration(cfg)
+    rng = np.random.default_rng(seed)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 7)))
+    amask = jnp.asarray([[1] * 7, [1] * 5 + [0] * 2])
+    params = model.init(jax.random.PRNGKey(seed), ids, amask,
+                        jnp.zeros((2, 3), jnp.int32))
+    return model, params, ids, amask
+
+
+def _steps(model, params, ids, amask, gcfg, gamma, mode="masked"):
+    enc = model.apply(params, ids, None, amask, mode, method=model.encode)
+    max_len = gcfg.max_length + gamma + 1
+    return make_t5_step(model, params, enc, amask, mode, max_len), enc
+
+
+@pytest.mark.parametrize("gamma", [2, 4])
+@pytest.mark.parametrize("rep,minlen", [(1.0, 1), (1.3, 4)])
+def test_matches_greedy_same_model(gamma, rep, minlen):
+    """Draft == target: every proposal accepted, output == greedy, and
+    the verify count collapses to ~max_length/gamma rounds."""
+    model, params, ids, amask = _t5(0)
+    gcfg = GenerationConfig(max_length=12, min_length=minlen,
+                            repetition_penalty=rep, eos_token_id=1,
+                            pad_token_id=0)
+    (dstep, dcache), _ = _steps(model, params, ids, amask, gcfg, gamma)
+    (tstep, tcache), _ = _steps(model, params, ids, amask, gcfg, gamma)
+    seqs, lengths, stats = speculative_generate(
+        dstep, dcache, tstep, tcache, 2, gcfg, gamma=gamma)
+
+    want, _ = greedy_generate(*_steps(model, params, ids, amask, gcfg, 0)[0],
+                              2, gcfg)
+    # greedy ran with a longer cache in _steps; rebuild exactly
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(want)[:, :12])
+    assert int(stats["rounds"]) <= int(np.ceil(11 / gamma)) + 1
+    assert int(stats["committed"]) >= 11 or bool(
+        jnp.any(seqs == gcfg.eos_token_id))
+
+
+def test_matches_greedy_with_weak_draft():
+    """A DIFFERENT (differently-initialized) draft model: acceptance is
+    partial but the output must still be the target's greedy sequence."""
+    model, params, ids, amask = _t5(1)
+    _, params_draft, _, _ = _t5(99)
+    gcfg = GenerationConfig(max_length=10, eos_token_id=1, pad_token_id=0)
+    (dstep, dcache), _ = _steps(model, params_draft, ids, amask, gcfg, 3)
+    (tstep, tcache), _ = _steps(model, params, ids, amask, gcfg, 3)
+    seqs, _, stats = speculative_generate(
+        dstep, dcache, tstep, tcache, 2, gcfg, gamma=3)
+
+    want, _ = greedy_generate(*_steps(model, params, ids, amask, gcfg, 0)[0],
+                              2, gcfg)
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(want)[:, :10])
+    assert int(stats["rounds"]) >= 1
+
+
+def test_self_speculative_t5_wrapper():
+    """draft_mode=masked / target_mode=dense over ONE variables dict —
+    output equals dense-mode greedy t5_generate."""
+    model, params, ids, amask = _t5(2)
+    gcfg = GenerationConfig(max_length=9, eos_token_id=1, pad_token_id=0)
+    seqs, lengths, stats = t5_speculative_generate(
+        model, params, ids, amask, cfg=gcfg, draft_mode="masked",
+        target_mode="dense", gamma=3)
+    want = t5_generate(model, params, ids, amask, cfg=gcfg, mode="dense")
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(want))
+    assert seqs.shape == (2, 9)
+    # tiny random weights: masked == dense (no masks applied), so every
+    # proposal is accepted and rounds stay at the γ-commit floor
+    assert int(stats["rounds"]) <= int(np.ceil(8 / 3)) + 1
+
+
+def test_speculative_is_jittable():
+    model, params, ids, amask = _t5(3)
+    gcfg = GenerationConfig(max_length=8, eos_token_id=1, pad_token_id=0)
+
+    @jax.jit
+    def run(params, ids, amask):
+        return t5_speculative_generate(model, params, ids, amask, cfg=gcfg,
+                                       gamma=2)[0]
+
+    seqs = run(params, ids, amask)
+    want = t5_generate(model, params, ids, amask, cfg=gcfg, mode="dense")
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(want))

@@ -309,3 +309,175 @@ def t5_generate(model, variables, input_ids=None, attention_mask=None,
                                mode, cfg.max_length)
     seqs, _ = greedy_generate(step, cache, b, cfg, rng)
     return seqs
+
+
+# ---------------------------------------------------------------------------
+# speculative decoding (draft-and-verify greedy)
+# ---------------------------------------------------------------------------
+
+
+def _rollback_cache_index(cache, idx):
+    """Set every flax decode-cache ``cache_index`` (the only 0-d integer
+    leaves) to ``idx``.  Stale cached_key/value slots beyond the index are
+    overwritten before any query can see them: slots fill sequentially
+    from the index and the per-query causal visibility only admits slots
+    ≤ the query position."""
+
+    def fix(x):
+        if getattr(x, "ndim", None) == 0 and \
+                jnp.issubdtype(x.dtype, jnp.integer):
+            return jnp.asarray(idx, x.dtype)
+        return x
+
+    return jax.tree_util.tree_map(fix, cache)
+
+
+def speculative_generate(draft_step, draft_cache, target_step, target_cache,
+                         batch_size: int, cfg: GenerationConfig,
+                         gamma: int = 4):
+    """Greedy draft-and-verify decoding (speculative decoding).
+
+    The draft model proposes ``gamma`` tokens one step at a time; the
+    target model scores the whole proposal in ONE chunked forward (the
+    KV caches support multi-token priming), and the longest prefix whose
+    target argmax agrees with the proposal is committed.  Output is
+    **exactly** the target model's greedy_generate sequence — the draft
+    only decides how many target tokens each verify call yields — so the
+    natural pairing in this framework is draft = the compressed student
+    (``mode="masked"``/quantized) and target = the dense teacher
+    (``mode="dense"``), which already share one variables dict in the
+    RESSA setup (tasks/retrain.py).
+
+    Both caches must be allocated with ``max_decode_len ≥ max_length +
+    gamma`` (the last verify chunk may run past ``max_length``; the
+    surplus is sliced off).  Batched rows advance together by the
+    minimum accepted length across the batch (the flax cache_index is
+    batch-shared), so the speedup is largest at small batch — the
+    serving regime speculative decoding targets.  Commits are capped at
+    ``gamma`` per round (the classic γ+1 bonus token is skipped: the
+    draft cache never ingested its own final proposal, and committing
+    past it would leave a KV hole).
+
+    Returns (sequences (b, max_length), lengths, stats) where stats =
+    {"rounds": verify calls, "committed": total committed tokens} —
+    mean accepted per round = committed / rounds.
+    """
+    if gamma < 1:
+        raise ValueError("gamma must be >= 1")
+    L, G = cfg.max_length, gamma
+    Lg = L + G + 1
+    seqs = jnp.full((batch_size, Lg), cfg.pad_token_id, jnp.int32)
+    seqs = seqs.at[:, 0].set(cfg.decoder_start_token_id)
+    finished = jnp.zeros((batch_size,), bool)
+    jarange = jnp.arange(G + 1)
+
+    def cond(state):
+        cur, _, finished = state[0], state[1], state[2]
+        return (cur < L) & ~jnp.all(finished)
+
+    def body(state):
+        cur, seqs, finished, dcache, tcache, n_committed, rounds = state
+        last = jax.lax.dynamic_slice(seqs, (0, cur - 1), (batch_size, 1))
+
+        # ---- draft phase: gamma single steps, same logits processors as
+        # greedy (the draft's choices only affect the accept rate, but
+        # mirroring the processors maximizes agreement)
+        def dbody(t, carry):
+            d, dcache, seqs_h = carry
+            prev = jax.lax.dynamic_slice(
+                d, (0, jnp.maximum(t - 1, 0)), (batch_size, 1))
+            tok = jnp.where(t == 0, last, prev)
+            logits, dcache = draft_step(tok, dcache)
+            logits = logits[:, -1, :].astype(jnp.float32)
+            logits = apply_repetition_penalty(
+                logits, seqs_h, jnp.arange(Lg)[None, :] < cur + t,
+                cfg.repetition_penalty)
+            logits = mask_min_length(logits, cur + t, cfg.min_length,
+                                     cfg.eos_token_id)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            d = jax.lax.dynamic_update_slice(d, nxt[:, None], (0, t))
+            seqs_h = jax.lax.dynamic_update_slice(
+                seqs_h, nxt[:, None], (0, cur + t))
+            return d, dcache, seqs_h
+
+        d0 = jnp.zeros((batch_size, G), jnp.int32)
+        d, dcache, seqs_h = jax.lax.fori_loop(
+            0, G, dbody, (d0, dcache, seqs))
+
+        # ---- verify: one chunked target forward over [last, d_1..d_γ]
+        chunk = jnp.concatenate([last, d], axis=1)          # (b, G+1)
+        tlogits, tcache = target_step(chunk, tcache)
+        tlogits = tlogits.astype(jnp.float32)               # (b, G+1, V)
+        valid = (jnp.arange(Lg)[None, None, :]
+                 < (cur + jarange)[None, :, None])          # (1, G+1, Lg)
+        tlogits = apply_repetition_penalty(
+            tlogits,
+            jnp.broadcast_to(seqs_h[:, None, :], (batch_size, G + 1, Lg)),
+            jnp.broadcast_to(valid, (batch_size, G + 1, Lg)),
+            cfg.repetition_penalty)
+        tlogits = tlogits.at[..., cfg.eos_token_id].add(
+            jnp.where(cur + jarange < cfg.min_length, NEG_INF, 0.0)[None])
+        t = jnp.argmax(tlogits, axis=-1).astype(jnp.int32)  # (b, G+1)
+
+        # longest matching prefix per row; batch advances by the minimum
+        match = (t[:, :G] == d).astype(jnp.int32)
+        k = jnp.sum(jnp.cumprod(match, axis=1), axis=1)     # (b,)
+        k = jnp.where(finished, G, k)
+        n = jnp.minimum(jnp.min(k) + 1, G)                  # 1..G
+
+        # commit the first n target tokens (pad once a row finished)
+        eos_hit = t == cfg.eos_token_id
+        fin_before = finished[:, None] | (
+            jnp.cumsum(eos_hit, axis=1) - eos_hit > 0)
+        committed = jnp.where(fin_before, cfg.pad_token_id, t)
+        cur_slice = jax.lax.dynamic_slice(
+            seqs, (0, cur), (batch_size, G + 1))
+        new_slice = jnp.where(jarange[None, :] < n, committed, cur_slice)
+        seqs = jax.lax.dynamic_update_slice(seqs, new_slice, (0, cur))
+        finished = finished | jnp.any(
+            (jarange[None, :] < n) & (committed == cfg.eos_token_id),
+            axis=1)
+
+        # roll both caches back to the committed frontier
+        dcache = _rollback_cache_index(dcache, cur + n - 1)
+        tcache = _rollback_cache_index(tcache, cur + n - 1)
+        return (cur + n, seqs, finished, dcache, tcache,
+                n_committed + n, rounds + 1)
+
+    state = (jnp.asarray(1), seqs, finished, draft_cache, target_cache,
+             jnp.asarray(0), jnp.asarray(0))
+    _, seqs, _, _, _, n_committed, rounds = jax.lax.while_loop(
+        cond, body, state)
+    seqs = seqs[:, :L]
+    lengths = jnp.sum(seqs != cfg.pad_token_id, axis=-1)
+    return seqs, lengths, {"rounds": rounds, "committed": n_committed}
+
+
+def t5_speculative_generate(model, variables, input_ids=None,
+                            attention_mask=None, inputs_embeds=None,
+                            cfg: Optional[GenerationConfig] = None,
+                            draft_mode: str = "masked",
+                            target_mode: str = "dense", gamma: int = 4):
+    """Self-speculative T5 generate: the compressed student
+    (``draft_mode``) drafts, the dense teacher (``target_mode``) verifies
+    — one variables dict, two forward modes, exactly the RESSA pairing.
+    Output tokens are identical to greedy ``t5_generate`` under
+    ``target_mode``."""
+    cfg = cfg or GenerationConfig(
+        decoder_start_token_id=model.cfg.decoder_start_token_id,
+        pad_token_id=model.cfg.pad_token_id)
+    enc_out = model.apply(
+        variables, input_ids, inputs_embeds, attention_mask, target_mode,
+        method=model.encode)
+    b = enc_out.shape[0]
+    # the draft encodes with ITS mode: enc cross-attn inputs differ
+    enc_out_d = model.apply(
+        variables, input_ids, inputs_embeds, attention_mask, draft_mode,
+        method=model.encode)
+    max_len = cfg.max_length + gamma + 1
+    dstep, dcache = make_t5_step(model, variables, enc_out_d,
+                                 attention_mask, draft_mode, max_len)
+    tstep, tcache = make_t5_step(model, variables, enc_out,
+                                 attention_mask, target_mode, max_len)
+    return speculative_generate(dstep, dcache, tstep, tcache, b, cfg,
+                                gamma=gamma)
