@@ -180,3 +180,28 @@ def test_save_result_multirank_merge_dedup(tmp_path):
     # rank-0's record wins for the duplicated id (merge order rank0-first)
     by_id = {m["question_id"]: m["answer"] for m in merged}
     assert by_id[2] == "a2"
+
+
+def test_generate_t5_speculative_matches_greedy(tiny):
+    """speculative_gamma: output token-identical to plain greedy under
+    the target mode (dense teacher verifies, masked student drafts)."""
+    model, variables = tiny
+    img = jnp.ones((2, 28, 28, 3), jnp.float32)
+    ids = jnp.ones((2, 5), jnp.int32)
+    mask = jnp.ones((2, 5), jnp.int32)
+    gcfg = GenerationConfig(num_beams=1, max_length=7)
+    want = generate_t5(model, variables, img, ids, mask, ids, mask,
+                       gen_cfg=gcfg, llm_mode="dense")
+    got = generate_t5(model, variables, img, ids, mask, ids, mask,
+                      gen_cfg=gcfg, llm_mode="dense",
+                      draft_llm_mode="masked", speculative_gamma=3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_vqa_task_speculative_valid_step(tiny, tmp_path):
+    model, variables = tiny
+    tok = SimpleTokenizer()
+    task = VQATask(num_beams=2, max_len=4, tokenizer=tok,
+                   speculative_gamma=2)
+    res = task.valid_step(FlaxModel(model, variables), _samples())
+    assert len(res) == 2 and all("answer" in r for r in res)

@@ -204,10 +204,19 @@ def generate_t5(model: "Blip2T5Instruct", variables, image, input_ids,
                 attention_mask, qformer_input_ids=None,
                 qformer_attention_mask=None, gen_cfg=None,
                 vit_mode="masked", llm_mode="masked", qformer_mode="masked",
-                rng=None):
+                rng=None, speculative_gamma: int = 0,
+                draft_llm_mode: str = "masked"):
     """InstructBLIP-T5 generate: beam search / greedy / nucleus over the
     image-conditioned encoder output (reference :299-432 wraps HF
-    ``t5_model.generate`` with num_beams=5 defaults)."""
+    ``t5_model.generate`` with num_beams=5 defaults).
+
+    ``speculative_gamma > 0`` (greedy only): draft-and-verify decoding —
+    the ``draft_llm_mode`` tower proposes γ tokens, the ``llm_mode``
+    tower verifies in one chunked pass; output is token-identical to
+    plain greedy under ``llm_mode``.  The natural serving pairing is
+    llm_mode="dense" (teacher quality) with draft_llm_mode="masked"
+    (compressed student speed); both share one multimodal encoder pass.
+    """
     import jax.numpy as jnp  # noqa: F811
 
     from vlm_compression_tpu.models.generation import (
@@ -215,6 +224,7 @@ def generate_t5(model: "Blip2T5Instruct", variables, image, input_ids,
         beam_search,
         greedy_generate,
         make_t5_step,
+        speculative_generate,
     )
 
     cfg = model.cfg
@@ -240,6 +250,15 @@ def generate_t5(model: "Blip2T5Instruct", variables, image, input_ids,
         step, cache = make_t5_step(t5, t5_vars, enc_t, mask_t, llm_mode,
                                    gen_cfg.max_length)
         seqs, _ = beam_search(step, cache, b, gen_cfg)
+        return seqs
+    if speculative_gamma > 0 and not gen_cfg.do_sample:
+        max_len = gen_cfg.max_length + speculative_gamma + 1
+        dstep, dcache = make_t5_step(t5, t5_vars, enc, enc_mask,
+                                     draft_llm_mode, max_len)
+        tstep, tcache = make_t5_step(t5, t5_vars, enc, enc_mask, llm_mode,
+                                     max_len)
+        seqs, _, _ = speculative_generate(dstep, dcache, tstep, tcache, b,
+                                          gen_cfg, gamma=speculative_gamma)
         return seqs
     step, cache = make_t5_step(t5, t5_vars, enc, enc_mask, llm_mode,
                                gen_cfg.max_length)

@@ -12,6 +12,7 @@ layer keeps them; the reference re-reads annotation files instead).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import logging
 import os
@@ -34,9 +35,14 @@ class VQATask(BaseTask):
                  min_len: int = 1, prompt: str = "",
                  tokenizer=None, qformer_tokenizer=None,
                  sample_id_key: str = "question_id",
-                 apply_lemmatizer: bool = False, **kw):
+                 apply_lemmatizer: bool = False,
+                 speculative_gamma: int = 0, **kw):
         super().__init__()
         self.num_beams = num_beams
+        # speculative_gamma > 0: greedy draft-and-verify serving — the
+        # compressed student (masked) drafts, the DENSE teacher verifies;
+        # answers are the teacher's greedy outputs (beyond-reference)
+        self.speculative_gamma = speculative_gamma
         self.max_len = max_len
         self.min_len = min_len
         self.prompt = prompt
@@ -60,7 +66,8 @@ class VQATask(BaseTask):
                    min_len=int(g("min_len", 1)),
                    prompt=str(g("prompt", "")),
                    apply_lemmatizer=bool(mg("apply_lemmatizer", False)
-                                         or g("apply_lemmatizer", False)))
+                                         or g("apply_lemmatizer", False)),
+                   speculative_gamma=int(g("speculative_gamma", 0)))
 
     # ------------------------------------------------------------------
     def _decode(self, seqs) -> List[str]:
@@ -107,10 +114,19 @@ class VQATask(BaseTask):
 
         if isinstance(model.module, Blip2T5Instruct):
             ids, mask = batch_encode(self.tokenizer, questions, 128)
-            seqs = generate_t5(model.module, model.variables, image,
-                               jnp.asarray(ids), jnp.asarray(mask),
-                               jnp.asarray(q_ids), jnp.asarray(q_mask),
-                               gen_cfg=gen_cfg)
+            if self.speculative_gamma > 0:
+                gen_cfg = dataclasses.replace(gen_cfg, num_beams=1)
+                seqs = generate_t5(model.module, model.variables, image,
+                                   jnp.asarray(ids), jnp.asarray(mask),
+                                   jnp.asarray(q_ids), jnp.asarray(q_mask),
+                                   gen_cfg=gen_cfg, llm_mode="dense",
+                                   draft_llm_mode="masked",
+                                   speculative_gamma=self.speculative_gamma)
+            else:
+                seqs = generate_t5(model.module, model.variables, image,
+                                   jnp.asarray(ids), jnp.asarray(mask),
+                                   jnp.asarray(q_ids), jnp.asarray(q_mask),
+                                   gen_cfg=gen_cfg)
         elif isinstance(model.module, Blip2OPT):
             ids, mask = batch_encode(self.tokenizer, questions, 128,
                                      left_pad=True, add_bos=True)
