@@ -78,12 +78,27 @@ def mha_reference(q, k, v, biases: Sequence[jax.Array] = (),
 # ---------------------------------------------------------------------------
 
 
+def _mask_tile(s, q_i, kv_i, bq, bk, causal, causal_off, kv_len):
+    """NEG_INF-mask a (bq, bk) score tile: causal visibility (REAL
+    right-aligned offsets) and padded kv columns (col ≥ kv_len — padded
+    k rows are zeros, so scores there would otherwise be exp(0-lse))."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    keep = None
+    if causal:
+        keep = (kv_i * bk + cols) <= (q_i * bq + rows + causal_off)
+    if kv_len is not None:
+        pad_ok = (kv_i * bk + cols) < kv_len
+        keep = pad_ok if keep is None else (keep & pad_ok)
+    return s if keep is None else jnp.where(keep, s, NEG_INF)
+
+
 def _flash_kernel(*refs, scale: float, causal: bool, nbias: int,
-                  bq: int, bk: int, causal_off: int):
+                  bq: int, bk: int, causal_off: int, kv_len):
     q_ref, k_ref, v_ref = refs[:3]
     bias_refs = refs[3:3 + nbias]
-    o_ref = refs[3 + nbias]
-    acc_ref, m_ref, l_ref = refs[4 + nbias:]
+    o_ref, lse_ref = refs[3 + nbias:5 + nbias]
+    acc_ref, m_ref, l_ref = refs[5 + nbias:]
 
     kv_i = pl.program_id(3)
     q_i = pl.program_id(2)  # hoisted: program_id inside a pl.when body
@@ -111,11 +126,7 @@ def _flash_kernel(*refs, scale: float, causal: bool, nbias: int,
             preferred_element_type=jnp.float32) * scale  # (bq, bk)
         for b_ref in bias_refs:
             s = s + b_ref[0, 0].astype(jnp.float32)      # (bq|1, bk)
-        if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            vis = (kv_i * bk + cols) <= (q_i * bq + rows + causal_off)
-            s = jnp.where(vis, s, NEG_INF)
+        s = _mask_tile(s, q_i, kv_i, bq, bk, causal, causal_off, kv_len)
 
         m_prev = m_ref[:, :1]                            # (bq, 1)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -134,6 +145,8 @@ def _flash_kernel(*refs, scale: float, causal: bool, nbias: int,
         # fully-masked rows (all-NEG_INF, l→uniform) match the reference:
         # NEG_INF keeps m finite, so l ≥ bk·exp(0) > 0 — no 0/0
         o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        # log-sum-exp per row, saved for the Pallas backward
+        lse_ref[0, 0] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
 
 
 def _round_up(x: int, m: int) -> int:
@@ -153,41 +166,49 @@ def _bias_spec(bias, b, h, bq, bk):
     return pl.BlockSpec(blk, idx)
 
 
-def _flash_attention_pallas(q, k, v, biases, scale, causal,
-                            block_q: int = 256, block_k: int = 256,
-                            interpret: bool = False):
-    """q (b,n,h,d) → out (b,n,h,d).  Pads n/m to block multiples and d to
-    a lane multiple (128); padded kv columns are masked with NEG_INF via
-    an extra bias term, padded q rows/d columns are sliced off."""
+def _geom(q, k, block_q, block_k):
     b, n, h, d = q.shape
     m = k.shape[1]
     bq = min(block_q, _round_up(n, 128))
     bk = min(block_k, _round_up(m, 128))
-    n_pad, m_pad = _round_up(n, bq), _round_up(m, bk)
-    d_pad = _round_up(d, 128)
+    return (b, n, h, d, m, bq, bk, _round_up(n, bq), _round_up(m, bk),
+            _round_up(d, 128))
 
-    def to_bhnd(x, length):
-        x = jnp.transpose(x, (0, 2, 1, 3))  # (b, h, len, d)
-        return jnp.pad(x, ((0, 0), (0, 0), (0, length - x.shape[2]),
-                           (0, d_pad - d)))
 
-    qp, kp, vp = to_bhnd(q, n_pad), to_bhnd(k, m_pad), to_bhnd(v, m_pad)
+def _to_bhnd(x, length, d_pad):
+    x = jnp.transpose(x, (0, 2, 1, 3))  # (b, h, len, d)
+    return jnp.pad(x, ((0, 0), (0, 0), (0, length - x.shape[2]),
+                       (0, d_pad - x.shape[3])))
 
-    biases = [jnp.asarray(x, jnp.float32) for x in biases]
-    if m_pad > m:
-        pad_mask = jnp.full((1, 1, 1, m_pad), NEG_INF, jnp.float32)
-        pad_mask = pad_mask.at[..., :m].set(0.0)
-        biases = list(biases) + [pad_mask]
-    biases = [jnp.pad(x, [(0, 0), (0, 0),
-                          (0, (n_pad - x.shape[2]) if x.shape[2] > 1 else 0),
-                          (0, m_pad - x.shape[3])])
-              for x in biases]
+
+def _pad_biases(biases, n_pad, m_pad):
+    return [jnp.pad(jnp.asarray(x, jnp.float32),
+                    [(0, 0), (0, 0),
+                     (0, (n_pad - x.shape[2]) if x.shape[2] > 1 else 0),
+                     (0, m_pad - x.shape[3])])
+            for x in biases]
+
+
+def _flash_attention_pallas(q, k, v, biases, scale, causal,
+                            block_q: int = 256, block_k: int = 256,
+                            interpret: bool = False,
+                            return_lse: bool = False):
+    """q (b,n,h,d) → out (b,n,h,d).  Pads n/m to block multiples and d to
+    a lane multiple (128); padded kv columns are masked with NEG_INF
+    inside the kernel, padded q rows / d columns are sliced off."""
+    b, n, h, d, m, bq, bk, n_pad, m_pad, d_pad = _geom(q, k, block_q,
+                                                       block_k)
+    qp = _to_bhnd(q, n_pad, d_pad)
+    kp = _to_bhnd(k, m_pad, d_pad)
+    vp = _to_bhnd(v, m_pad, d_pad)
+    biases = _pad_biases(biases, n_pad, m_pad)
 
     grid = (b, h, n_pad // bq, m_pad // bk)
     kern = functools.partial(
         _flash_kernel, scale=float(scale), causal=causal,
-        nbias=len(biases), bq=bq, bk=bk, causal_off=m - n)
-    out = pl.pallas_call(
+        nbias=len(biases), bq=bq, bk=bk, causal_off=m - n,
+        kv_len=(m if m_pad > m else None))
+    out, lse = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -195,9 +216,15 @@ def _flash_attention_pallas(q, k, v, biases, scale, causal,
             pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
             pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
         ] + [_bias_spec(x, b, h, bq, bk) for x in biases],
-        out_specs=pl.BlockSpec((1, 1, bq, d_pad),
-                               lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d_pad), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, d_pad),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, qi)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, n_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n_pad), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((bq, d_pad), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -209,11 +236,162 @@ def _flash_attention_pallas(q, k, v, biases, scale, causal,
         ),
         interpret=interpret,
     )(qp, kp, vp, *biases)
-    return jnp.transpose(out[:, :, :n, :d], (0, 2, 1, 3))
+    out = jnp.transpose(out[:, :, :n, :d], (0, 2, 1, 3))
+    return (out, lse) if return_lse else out
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp wrapper: flash forward, recompute-reference backward.
+# Pallas backward kernels (bias-free cases): standard flash backward —
+#   p  = exp(s − lse);  delta = rowsum(g ⊙ out)
+#   dv = pᵀ·g;  ds = p ⊙ (g·vᵀ − delta);  dq = ds·k·scale;  dk = dsᵀ·q·scale
+# Each recomputes the score tile in VMEM (one extra q·kᵀ per tile — the
+# rematerialization trade), so the (n, m) probability matrix never exists
+# in HBM in either pass.  Biased attention (T5's trainable rel-pos) keeps
+# the recompute-reference backward, whose bias gradients are exact.
+# ---------------------------------------------------------------------------
+
+
+def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                     dq_ref, acc_ref, *, scale, causal, bq, bk,
+                     causal_off, kv_len):
+    kv_i = pl.program_id(3)
+    q_i = pl.program_id(2)
+
+    @pl.when(kv_i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    run = (kv_i * bk <= q_i * bq + (bq - 1) + causal_off) if causal \
+        else True
+
+    @pl.when(run)
+    def _():
+        q, k, v, g = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], g_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = _mask_tile(s, q_i, kv_i, bq, bk, causal, causal_off, kv_len)
+        p = jnp.exp(s - lse_ref[0, 0].reshape(bq, 1))
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bq, bk)
+        ds = p * (dp - delta_ref[0, 0].reshape(bq, 1)) * scale
+        acc_ref[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kv_i == pl.num_programs(3) - 1)
+    def _():
+        dq_ref[0, 0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                      dk_ref, dv_ref, dk_acc, dv_acc, *, scale, causal,
+                      bq, bk, causal_off, kv_len):
+    q_i = pl.program_id(3)                  # sequential: q blocks
+    kv_i = pl.program_id(2)
+
+    @pl.when(q_i == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    run = (kv_i * bk <= q_i * bq + (bq - 1) + causal_off) if causal \
+        else True
+
+    @pl.when(run)
+    def _():
+        q, k, v, g = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], g_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = _mask_tile(s, q_i, kv_i, bq, bk, causal, causal_off, kv_len)
+        p = jnp.exp(s - lse_ref[0, 0].reshape(bq, 1))    # (bq, bk)
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bk, d)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0, 0].reshape(bq, 1)) * scale
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bk, d)
+
+    @pl.when(q_i == pl.num_programs(3) - 1)
+    def _():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_backward_pallas(q, k, v, out, lse, g, scale, causal,
+                           block_q: int = 256, block_k: int = 256,
+                           interpret: bool = False):
+    """dq, dk, dv in the caller's (b, n, h, d) layout; ``lse`` is the
+    padded (b, h, n_pad) log-sum-exp from the forward kernel."""
+    b, n, h, d, m, bq, bk, n_pad, m_pad, d_pad = _geom(q, k, block_q,
+                                                       block_k)
+    qp = _to_bhnd(q, n_pad, d_pad)
+    kp = _to_bhnd(k, m_pad, d_pad)
+    vp = _to_bhnd(v, m_pad, d_pad)
+    gp = _to_bhnd(g, n_pad, d_pad)
+    # delta = rowsum(g ⊙ out): O(b·h·n·d) elementwise, fused by XLA
+    delta = jnp.pad(
+        jnp.einsum("bnhd,bnhd->bhn", g.astype(jnp.float32),
+                   out.astype(jnp.float32)),
+        ((0, 0), (0, 0), (0, n_pad - n)))
+
+    kw = dict(scale=float(scale), causal=causal, bq=bq, bk=bk,
+              causal_off=m - n, kv_len=(m if m_pad > m else None))
+    qspec = pl.BlockSpec((1, 1, bq, d_pad),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    kspec = pl.BlockSpec((1, 1, bk, d_pad),
+                         lambda bi, hi, qi, ki: (bi, hi, ki, 0))
+    rspec = pl.BlockSpec((1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, qi))
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, **kw),
+        grid=(b, h, n_pad // bq, m_pad // bk),
+        in_specs=[qspec, kspec, kspec, qspec, rspec, rspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse, delta)
+
+    # dkv grid: kv blocks parallel, q blocks sequential (innermost)
+    qspec2 = pl.BlockSpec((1, 1, bq, d_pad),
+                          lambda bi, hi, ki, qi: (bi, hi, qi, 0))
+    kspec2 = pl.BlockSpec((1, 1, bk, d_pad),
+                          lambda bi, hi, ki, qi: (bi, hi, ki, 0))
+    rspec2 = pl.BlockSpec((1, 1, bq), lambda bi, hi, ki, qi: (bi, hi, qi))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, **kw),
+        grid=(b, h, m_pad // bk, n_pad // bq),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, rspec2, rspec2],
+        out_specs=(kspec2, kspec2),
+        out_shape=(jax.ShapeDtypeStruct((b, h, m_pad, d_pad), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, m_pad, d_pad), v.dtype)),
+        scratch_shapes=[pltpu.VMEM((bk, d_pad), jnp.float32),
+                        pltpu.VMEM((bk, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse, delta)
+
+    def back(x, length):
+        return jnp.transpose(x[:, :, :length, :d], (0, 2, 1, 3))
+
+    return back(dq, n), back(dk, m), back(dv, m)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper: flash forward; backward = Pallas flash kernels when
+# bias-free (ViT and the causal zoo — O(n) memory end to end), else the
+# recompute-reference VJP (exact gradients incl. T5's trainable bias).
 # ---------------------------------------------------------------------------
 
 
@@ -225,14 +403,21 @@ def _flash_attention(q, k, v, biases, scale, causal, interpret, blocks):
 
 
 def _flash_fwd(q, k, v, biases, scale, causal, interpret, blocks):
-    out = _flash_attention_pallas(q, k, v, biases, scale, causal,
-                                  block_q=blocks[0], block_k=blocks[1],
-                                  interpret=interpret)
-    return out, (q, k, v, biases)
+    out, lse = _flash_attention_pallas(q, k, v, biases, scale, causal,
+                                       block_q=blocks[0],
+                                       block_k=blocks[1],
+                                       interpret=interpret,
+                                       return_lse=True)
+    return out, (q, k, v, biases, out, lse)
 
 
 def _flash_bwd(scale, causal, interpret, blocks, res, g):
-    q, k, v, biases = res
+    q, k, v, biases, out, lse = res
+    if not biases:
+        dq, dk, dv = _flash_backward_pallas(
+            q, k, v, out, lse, g, scale, causal,
+            block_q=blocks[0], block_k=blocks[1], interpret=interpret)
+        return dq, dk, dv, []
     _, vjp = jax.vjp(
         lambda q_, k_, v_, bs: mha_reference(q_, k_, v_, bs, scale, causal),
         q, k, v, tuple(biases))
