@@ -19,6 +19,8 @@ import numpy as np
 
 from vlm_compression_tpu.models.layers import SparseLinear
 from vlm_compression_tpu.ops.attention import attention_core
+from vlm_compression_tpu.models.kvcache import (cache_kv,
+    step_visibility_mask)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,6 +39,9 @@ class OPTConfig:
     dtype: str = "bfloat16"
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # int8 decode KV cache: codes + per-(batch,slot,head) absmax
+    # scales — halves persistent decode memory vs bf16 (kvcache.py)
+    kv_cache_int8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -83,25 +88,10 @@ class OPTAttention(nn.Module):
         v = sl("v_proj")(x, mode=mode).reshape(b, n, cfg.num_heads, hd)
 
         if decode:
-            is_init = self.has_variable("cache", "cached_key")
-            ck = self.variable("cache", "cached_key",
-                               lambda: jnp.zeros(k.shape, k.dtype))
-            cv = self.variable("cache", "cached_value",
-                               lambda: jnp.zeros(v.shape, v.dtype))
-            ci = self.variable("cache", "cache_index",
-                               lambda: jnp.zeros((), jnp.int32))
+            k, v, cur, is_init = cache_kv(self, k, v,
+                                          int8=cfg.kv_cache_int8)
             if is_init:
-                cur = ci.value
-                max_len = ck.value.shape[1]
-                k = jax.lax.dynamic_update_slice(ck.value, k, (0, cur, 0, 0))
-                v = jax.lax.dynamic_update_slice(cv.value, v, (0, cur, 0, 0))
-                ck.value, cv.value = k, v
-                ci.value = cur + n
-                qpos = cur + jnp.arange(n)
-                vis = (jnp.arange(max_len)[None, None, None, :]
-                       <= qpos[None, None, :, None])
-                step = jnp.where(vis, 0.0, -1e9)
-                mask = step if mask is None else mask + step
+                mask = step_visibility_mask(cur, n, k.shape[1], mask)
 
         out = attention_core(q, k, v, [mask], scale=1.0).reshape(
             b, n, cfg.hidden_size)

@@ -24,6 +24,8 @@ import numpy as np
 
 from vlm_compression_tpu.models.layers import SparseLinear
 from vlm_compression_tpu.ops.attention import attention_core
+from vlm_compression_tpu.models.kvcache import (cache_kv,
+    step_visibility_mask)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,6 +47,9 @@ class T5Config:
     dtype: str = "bfloat16"
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # int8 decode KV cache: codes + per-(batch,slot,head) absmax
+    # scales — halves persistent decode memory vs bf16 (kvcache.py)
+    kv_cache_int8: bool = False
     # rematerialize each block's activations in the backward pass —
     # trades FLOPs for memory so dense-teacher + student + grads fit XL
     # towers on one chip (SURVEY §7 hard part 5); training path only
@@ -155,27 +160,11 @@ class T5Attention(nn.Module):
         # creates the buffers, later calls write step k/v at cache_index.
         # Replaces HF's past_key_values threading (modeling_t5.py:491-653).
         if decode and kv is None:
-            is_init = self.has_variable("cache", "cached_key")
-            ck = self.variable("cache", "cached_key",
-                               lambda: jnp.zeros(k.shape, k.dtype))
-            cv = self.variable("cache", "cached_value",
-                               lambda: jnp.zeros(v.shape, v.dtype))
-            ci = self.variable("cache", "cache_index",
-                               lambda: jnp.zeros((), jnp.int32))
+            k, v, cur, is_init = cache_kv(self, k, v,
+                                          int8=cfg.kv_cache_int8)
             if is_init:
-                cur = ci.value
-                max_len = ck.value.shape[1]
-                k = jax.lax.dynamic_update_slice(ck.value, k, (0, cur, 0, 0))
-                v = jax.lax.dynamic_update_slice(cv.value, v, (0, cur, 0, 0))
-                ck.value, cv.value = k, v
-                ci.value = cur + n
-                # per-query causal visibility (stays correct for
-                # multi-token cache priming, not just single steps)
-                qpos = cur + jnp.arange(n)
-                vis = (jnp.arange(max_len)[None, None, None, :]
-                       <= qpos[None, None, :, None])
-                step_mask = jnp.where(vis, 0.0, -1e9)
-                mask = step_mask if mask is None else mask + step_mask
+                max_len = k.shape[1]
+                mask = step_visibility_mask(cur, n, max_len, mask)
                 if position_bias is not None:
                     position_bias = jax.lax.dynamic_slice(
                         position_bias, (0, 0, cur, 0),
