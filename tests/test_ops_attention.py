@@ -240,3 +240,44 @@ def test_vit_tower_grads_through_pallas_backward():
                      jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-3, rtol=2e-3)
+
+
+def test_flash_attention_sharded_mesh():
+    """custom_partitioning: the kernel runs per-shard on a (data, model)
+    mesh with batch+heads sharded — values AND grads match the reference,
+    and output sharding follows the inputs (no forced replication)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh (tests/conftest.py)")
+    mesh = Mesh(np.array(devs).reshape(4, 2), ("data", "model"))
+    rng = np.random.default_rng(15)
+    q, k, v = (jnp.asarray(rng.standard_normal((4, 256, 2, 64)),
+                           jnp.float32) * 0.3 for _ in range(3))
+    sh = NamedSharding(mesh, P("data", None, "model", None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+
+    @jax.jit
+    def fwd(q_, k_, v_):
+        return attention_core(q_, k_, v_, scale=0.125, causal=True)
+
+    out = fwd(qs, ks, vs)
+    want = mha_reference(q, k, v, (), scale=0.125, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+    # the unconstrained jit output layout is the compiler's choice; what
+    # matters is that it stayed distributed (no forced replication)
+    assert any(ax is not None for ax in out.sharding.spec)
+
+    @jax.jit
+    def loss(q_, k_, v_):
+        return jnp.sum(attention_core(q_, k_, v_, scale=0.125,
+                                      causal=True) ** 2)
+
+    gf = jax.grad(loss, argnums=(0, 1, 2))(qs, ks, vs)
+    gr = jax.grad(lambda *a: jnp.sum(mha_reference(
+        *a, (), scale=0.125, causal=True) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=1e-3)

@@ -237,7 +237,10 @@ def _flash_attention_pallas(q, k, v, biases, scale, causal,
         interpret=interpret,
     )(qp, kp, vp, *biases)
     out = jnp.transpose(out[:, :, :n, :d], (0, 2, 1, 3))
-    return (out, lse) if return_lse else out
+    # lse sliced to real n: padded-row values are irrelevant in the
+    # backward (zero-padded g annihilates their contributions), and a
+    # real-length lse lets the SPMD sharding rule share the n factor
+    return (out, lse[:, :, :n]) if return_lse else out
 
 
 # ---------------------------------------------------------------------------
@@ -328,13 +331,14 @@ def _flash_backward_pallas(q, k, v, out, lse, g, scale, causal,
                            block_q: int = 256, block_k: int = 256,
                            interpret: bool = False):
     """dq, dk, dv in the caller's (b, n, h, d) layout; ``lse`` is the
-    padded (b, h, n_pad) log-sum-exp from the forward kernel."""
+    (b, h, n) log-sum-exp from the forward kernel (re-padded here)."""
     b, n, h, d, m, bq, bk, n_pad, m_pad, d_pad = _geom(q, k, block_q,
                                                        block_k)
     qp = _to_bhnd(q, n_pad, d_pad)
     kp = _to_bhnd(k, m_pad, d_pad)
     vp = _to_bhnd(v, m_pad, d_pad)
     gp = _to_bhnd(g, n_pad, d_pad)
+    lse = jnp.pad(lse, ((0, 0), (0, 0), (0, n_pad - lse.shape[2])))
     # delta = rowsum(g ⊙ out): O(b·h·n·d) elementwise, fused by XLA
     delta = jnp.pad(
         jnp.einsum("bnhd,bnhd->bhn", g.astype(jnp.float32),
@@ -389,6 +393,123 @@ def _flash_backward_pallas(q, k, v, out, lse, g, scale, causal,
 
 
 # ---------------------------------------------------------------------------
+# SPMD partitioning: a pallas_call is a custom call GSPMD cannot split on
+# its own — without rules it would all-gather q/k/v and run FULL attention
+# on every chip of a tensor-parallel mesh.  Attention is embarrassingly
+# parallel over (batch, heads) — exactly the axes the Megatron-style
+# rules shard — so custom_partitioning declares: keep b (dim 0 of q) and
+# h (dim 2) sharded, replicate n/m/d, and run the kernel per shard.
+# ---------------------------------------------------------------------------
+
+
+def _bh_of(arg_shapes):
+    """(batch, head) mesh axes from q's sharding, if any."""
+    qs = getattr(arg_shapes[0], "sharding", None)
+    spec = getattr(qs, "spec", None)
+    if spec is None:
+        return None, None
+    b = spec[0] if len(spec) > 0 else None
+    h = spec[2] if len(spec) > 2 else None
+    return b, h
+
+
+def _bias_rule(i, pattern):
+    bb, bh, bn = pattern
+    return " ".join(["b" if bb else f"u{i}0", "h" if bh else f"u{i}1",
+                     "n" if bn else f"u{i}2", "m"])
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_fwd(scale, causal, blocks, interpret, bias_patterns):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def fwd(q, k, v, *biases):
+        return _flash_attention_pallas(
+            q, k, v, list(biases), scale, causal,
+            block_q=blocks[0], block_k=blocks[1], interpret=interpret,
+            return_lse=True)
+
+    def _shardings(mesh, b, h):
+        qkv = NamedSharding(mesh, P(b, None, h, None))
+        bias_sh = tuple(
+            NamedSharding(mesh, P(b if bb else None, h if bh else None,
+                                  None, None))
+            for bb, bh, _ in bias_patterns)
+        out = (NamedSharding(mesh, P(b, None, h, None)),
+               NamedSharding(mesh, P(b, h, None)))
+        return (qkv, qkv, qkv) + bias_sh, out
+
+    def infer(mesh, arg_shapes, result_shape):
+        b, h = _bh_of(arg_shapes)
+        return _shardings(mesh, b, h)[1]
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, h = _bh_of(arg_shapes)
+        arg_sh, res_sh = _shardings(mesh, b, h)
+
+        def lower_fn(q, k, v, *biases):
+            return _flash_attention_pallas(
+                q, k, v, list(biases), scale, causal,
+                block_q=blocks[0], block_k=blocks[1],
+                interpret=interpret, return_lse=True)
+
+        return mesh, lower_fn, res_sh, arg_sh
+
+    rule = ", ".join(["b n h d", "b m h d", "b m h d"]
+                     + [_bias_rule(i, p) for i, p in
+                        enumerate(bias_patterns)]) + " -> b n h d, b h n"
+    fwd.def_partition(partition=partition,
+                      infer_sharding_from_operands=infer,
+                      sharding_rule=rule)
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_bwd(scale, causal, blocks, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @custom_partitioning
+    def bwd(q, k, v, out, lse, g):
+        return _flash_backward_pallas(q, k, v, out, lse, g, scale, causal,
+                                      block_q=blocks[0], block_k=blocks[1],
+                                      interpret=interpret)
+
+    def _shardings(mesh, b, h):
+        x = NamedSharding(mesh, P(b, None, h, None))
+        r = NamedSharding(mesh, P(b, h, None))
+        return (x, x, x, x, r, x), (x, x, x)
+
+    def infer(mesh, arg_shapes, result_shape):
+        b, h = _bh_of(arg_shapes)
+        return _shardings(mesh, b, h)[1]
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, h = _bh_of(arg_shapes)
+        arg_sh, res_sh = _shardings(mesh, b, h)
+
+        def lower_fn(q, k, v, out, lse, g):
+            return _flash_backward_pallas(
+                q, k, v, out, lse, g, scale, causal,
+                block_q=blocks[0], block_k=blocks[1], interpret=interpret)
+
+        return mesh, lower_fn, res_sh, arg_sh
+
+    bwd.def_partition(
+        partition=partition, infer_sharding_from_operands=infer,
+        sharding_rule="b n h d, b m h d, b m h d, b n h d, b h n, "
+                      "b n h d -> b n h d, b m h d, b m h d")
+    return bwd
+
+
+def _bias_patterns(biases):
+    return tuple((x.shape[0] > 1, x.shape[1] > 1, x.shape[2] > 1)
+                 for x in biases)
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp wrapper: flash forward; backward = Pallas flash kernels when
 # bias-free (ViT and the causal zoo — O(n) memory end to end), else the
 # recompute-reference VJP (exact gradients incl. T5's trainable bias).
@@ -397,26 +518,23 @@ def _flash_backward_pallas(q, k, v, out, lse, g, scale, causal,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_attention(q, k, v, biases, scale, causal, interpret, blocks):
-    return _flash_attention_pallas(q, k, v, biases, scale, causal,
-                                   block_q=blocks[0], block_k=blocks[1],
-                                   interpret=interpret)
+    fwd = _partitioned_fwd(scale, causal, blocks, interpret,
+                           _bias_patterns(biases))
+    return fwd(q, k, v, *biases)[0]
 
 
 def _flash_fwd(q, k, v, biases, scale, causal, interpret, blocks):
-    out, lse = _flash_attention_pallas(q, k, v, biases, scale, causal,
-                                       block_q=blocks[0],
-                                       block_k=blocks[1],
-                                       interpret=interpret,
-                                       return_lse=True)
+    fwd = _partitioned_fwd(scale, causal, blocks, interpret,
+                           _bias_patterns(biases))
+    out, lse = fwd(q, k, v, *biases)
     return out, (q, k, v, biases, out, lse)
 
 
 def _flash_bwd(scale, causal, interpret, blocks, res, g):
     q, k, v, biases, out, lse = res
     if not biases:
-        dq, dk, dv = _flash_backward_pallas(
-            q, k, v, out, lse, g, scale, causal,
-            block_q=blocks[0], block_k=blocks[1], interpret=interpret)
+        dq, dk, dv = _partitioned_bwd(scale, causal, blocks, interpret)(
+            q, k, v, out, lse, g)
         return dq, dk, dv, []
     _, vjp = jax.vjp(
         lambda q_, k_, v_, bs: mha_reference(q_, k_, v_, bs, scale, causal),
