@@ -147,13 +147,27 @@ class T5Attention(nn.Module):
 
         kv_in = kv if kv is not None else x
         q = sl("q")(x, mode=mode)
-        k = sl("k")(kv_in, mode=mode)
-        v = sl("v")(kv_in, mode=mode)
         b, n, _ = q.shape
-        m = k.shape[1]
         q = q.reshape(b, n, cfg.num_heads, cfg.d_kv)
-        k = k.reshape(b, m, cfg.num_heads, cfg.d_kv)
-        v = v.reshape(b, m, cfg.num_heads, cfg.d_kv)
+
+        if decode and kv is not None and \
+                self.has_variable("cache", "cross_key"):
+            # cross-attention k/v over the STATIC encoder output were
+            # projected once during the cache-init pass (make_t5_step
+            # decodes a dummy with the real enc_out) — HF caches these in
+            # past_key_values (modeling_t5.py:514-538); without this,
+            # every decode step re-projects enc_len rows in every layer
+            k = self.get_variable("cache", "cross_key")
+            v = self.get_variable("cache", "cross_value")
+        else:
+            k = sl("k")(kv_in, mode=mode)
+            v = sl("v")(kv_in, mode=mode)
+            m = k.shape[1]
+            k = k.reshape(b, m, cfg.num_heads, cfg.d_kv)
+            v = v.reshape(b, m, cfg.num_heads, cfg.d_kv)
+            if decode and kv is not None:
+                self.variable("cache", "cross_key", lambda: k)
+                self.variable("cache", "cross_value", lambda: v)
 
         # KV-cached single-step decoding (self-attention only): the flax
         # idiom — first mutable("cache") apply over the full max_len dummy
