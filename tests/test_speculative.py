@@ -101,3 +101,69 @@ def test_speculative_is_jittable():
     seqs = run(params, ids, amask)
     want = t5_generate(model, params, ids, amask, cfg=gcfg, mode="dense")
     np.testing.assert_array_equal(np.asarray(seqs), np.asarray(want))
+
+
+def test_sampling_mode_matches_target_distribution():
+    """Rejection-sampling mode: committed tokens are EXACT samples from
+    the processed target distribution regardless of the draft.  Checked
+    empirically with synthetic position-independent logits and 8192
+    parallel rows: total variation between the first-token histogram and
+    softmax(target/temp) must be within sampling noise."""
+    V, B = 8, 8192
+    rng = np.random.default_rng(42)
+    t_logits = jnp.asarray(rng.standard_normal(V) * 1.5, jnp.float32)
+    d_logits = jnp.asarray(rng.standard_normal(V) * 1.5, jnp.float32)
+
+    def make_step(logits):
+        def step(tokens, cache):
+            b, n = tokens.shape
+            out = jnp.broadcast_to(logits[None, None], (b, n, V))
+            cache = dict(cache, cache_index=cache["cache_index"] + n)
+            return out, cache
+        return step
+
+    cache0 = {"cache_index": jnp.zeros((), jnp.int32)}
+    gcfg = GenerationConfig(max_length=2, do_sample=True, temperature=0.7,
+                            top_p=1.0, eos_token_id=V + 5, pad_token_id=0)
+    seqs, _, stats = speculative_generate(
+        make_step(d_logits), cache0, make_step(t_logits), cache0,
+        B, gcfg, gamma=1, rng=jax.random.key(7))
+    first = np.asarray(seqs[:, 1])
+    hist = np.bincount(first, minlength=V) / B
+    want = np.asarray(jax.nn.softmax(t_logits / 0.7))
+    tv = 0.5 * np.abs(hist - want).sum()
+    assert tv < 0.03, (tv, hist, want)
+    # the DRAFT distribution must NOT fit (the test has power)
+    want_d = np.asarray(jax.nn.softmax(d_logits / 0.7))
+    tv_d = 0.5 * np.abs(hist - want_d).sum()
+    assert tv_d > 0.1, "draft and target too similar for this test"
+
+
+def test_sampling_mode_top_p_and_multiround():
+    """gamma=3, top_p<1, L=8 with a synthetic pair: every emitted token
+    must lie in the target's top-p nucleus at temperature tau."""
+    V, B = 16, 512
+    rng = np.random.default_rng(3)
+    t_logits = jnp.asarray(rng.standard_normal(V) * 2.0, jnp.float32)
+    d_logits = jnp.asarray(rng.standard_normal(V) * 2.0, jnp.float32)
+
+    def make_step(logits):
+        def step(tokens, cache):
+            b, n = tokens.shape
+            out = jnp.broadcast_to(logits[None, None], (b, n, V))
+            return out, dict(cache,
+                             cache_index=cache["cache_index"] + n)
+        return step
+
+    cache0 = {"cache_index": jnp.zeros((), jnp.int32)}
+    tau, topp = 0.8, 0.7
+    gcfg = GenerationConfig(max_length=8, do_sample=True, temperature=tau,
+                            top_p=topp, eos_token_id=V + 5, pad_token_id=0)
+    seqs, _, stats = speculative_generate(
+        make_step(d_logits), cache0, make_step(t_logits), cache0,
+        B, gcfg, gamma=3, rng=jax.random.key(11))
+    from vlm_compression_tpu.models.generation import top_p_filter
+    allowed = np.asarray(top_p_filter(t_logits[None] / tau, topp)[0]) > -1e6
+    emitted = np.asarray(seqs[:, 1:]).ravel()
+    assert np.all(allowed[emitted]), "token outside the target nucleus"
+    assert int(stats["committed"]) == 7 * 1 or int(stats["rounds"]) >= 3

@@ -106,6 +106,12 @@ def greedy_generate(step_fn, cache, batch_size: int, cfg: GenerationConfig,
     finished = jnp.zeros((batch_size,), bool)
     if rng is None:
         rng = jax.random.key(0)
+    V = 1
+    if cfg.do_sample:
+        # vocab size, statically (the q distributions ride the carry)
+        V = jax.eval_shape(draft_step, jnp.zeros((batch_size, 1),
+                                                 jnp.int32),
+                           draft_cache)[0].shape[-1]
 
     def cond(state):
         i, _, finished, _, _ = state
@@ -334,8 +340,18 @@ def _rollback_cache_index(cache, idx):
 
 def speculative_generate(draft_step, draft_cache, target_step, target_cache,
                          batch_size: int, cfg: GenerationConfig,
-                         gamma: int = 4):
-    """Greedy draft-and-verify decoding (speculative decoding).
+                         gamma: int = 4, rng=None):
+    """Draft-and-verify decoding (speculative decoding).
+
+    With ``cfg.do_sample`` the classic rejection-sampling rule runs
+    instead of argmax agreement: draft token x ~ q is accepted with
+    probability min(1, p(x)/q(x)); the first rejection resamples from
+    norm(max(p − q, 0)).  Each committed token is then an EXACT sample
+    from the processed target distribution p (temperature + top-p +
+    penalties applied identically to the autoregressive sampling path),
+    regardless of the draft.
+
+    Greedy mode (``do_sample=False``):
 
     The draft model proposes ``gamma`` tokens one step at a time; the
     target model scores the whole proposal in ONE chunked forward (the
@@ -370,20 +386,30 @@ def speculative_generate(draft_step, draft_cache, target_step, target_cache,
     seqs = seqs.at[:, 0].set(cfg.decoder_start_token_id)
     finished = jnp.zeros((batch_size,), bool)
     jarange = jnp.arange(G + 1)
+    if rng is None:
+        rng = jax.random.key(0)
+    V = 1
+    if cfg.do_sample:
+        # vocab size, statically (the q distributions ride the carry)
+        V = jax.eval_shape(draft_step, jnp.zeros((batch_size, 1),
+                                                 jnp.int32),
+                           draft_cache)[0].shape[-1]
 
     def cond(state):
         cur, _, finished = state[0], state[1], state[2]
         return (cur < L) & ~jnp.all(finished)
 
     def body(state):
-        cur, seqs, finished, dcache, tcache, n_committed, rounds = state
+        (cur, seqs, finished, dcache, tcache, n_committed, rounds,
+         rng) = state
         last = jax.lax.dynamic_slice(seqs, (0, cur - 1), (batch_size, 1))
 
         # ---- draft phase: gamma single steps, same logits processors as
-        # greedy (the draft's choices only affect the accept rate, but
-        # mirroring the processors maximizes agreement)
+        # the autoregressive path (in greedy mode the draft's choices only
+        # affect the accept rate; in sampling mode its DISTRIBUTION q
+        # enters the rejection rule, so it must be the processed one)
         def dbody(t, carry):
-            d, dcache, seqs_h = carry
+            d, qd, dcache, seqs_h, rng = carry
             prev = jax.lax.dynamic_slice(
                 d, (0, jnp.maximum(t - 1, 0)), (batch_size, 1))
             tok = jnp.where(t == 0, last, prev)
@@ -394,15 +420,25 @@ def speculative_generate(draft_step, draft_cache, target_step, target_cache,
                 cfg.repetition_penalty)
             logits = mask_min_length(logits, cur + t, cfg.min_length,
                                      cfg.eos_token_id)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if cfg.do_sample:
+                rng, sub = jax.random.split(rng)
+                qlog = top_p_filter(logits / cfg.temperature, cfg.top_p)
+                nxt = jax.random.categorical(sub, qlog).astype(jnp.int32)
+                qd = jax.lax.dynamic_update_slice(
+                    qd, jax.nn.softmax(qlog, axis=-1)[:, None],
+                    (0, t, 0))
+            else:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             d = jax.lax.dynamic_update_slice(d, nxt[:, None], (0, t))
             seqs_h = jax.lax.dynamic_update_slice(
                 seqs_h, nxt[:, None], (0, cur + t))
-            return d, dcache, seqs_h
+            return d, qd, dcache, seqs_h, rng
 
         d0 = jnp.zeros((batch_size, G), jnp.int32)
-        d, dcache, seqs_h = jax.lax.fori_loop(
-            0, G, dbody, (d0, dcache, seqs))
+        qd0 = jnp.zeros((batch_size, G, V if cfg.do_sample else 1),
+                        jnp.float32)
+        d, qd, dcache, seqs_h, rng = jax.lax.fori_loop(
+            0, G, dbody, (d0, qd0, dcache, seqs, rng))
 
         # ---- verify: one chunked target forward over [last, d_1..d_γ]
         chunk = jnp.concatenate([last, d], axis=1)          # (b, G+1)
@@ -417,15 +453,44 @@ def speculative_generate(draft_step, draft_cache, target_step, target_cache,
             cfg.repetition_penalty)
         tlogits = tlogits.at[..., cfg.eos_token_id].add(
             jnp.where(cur + jarange < cfg.min_length, NEG_INF, 0.0)[None])
-        t = jnp.argmax(tlogits, axis=-1).astype(jnp.int32)  # (b, G+1)
 
-        # longest matching prefix per row; batch advances by the minimum
-        match = (t[:, :G] == d).astype(jnp.int32)
-        k = jnp.sum(jnp.cumprod(match, axis=1), axis=1)     # (b,)
-        k = jnp.where(finished, G, k)
-        n = jnp.minimum(jnp.min(k) + 1, G)                  # 1..G
+        if cfg.do_sample:
+            # rejection sampling (Leviathan et al.): accept x ~ q with
+            # prob min(1, p(x)/q(x)); first rejection resamples from
+            # norm(max(p − q, 0)) — committed tokens are exact samples
+            # from the processed target distribution p
+            plog = top_p_filter(tlogits[:, :G] / cfg.temperature,
+                                cfg.top_p)
+            pd = jax.nn.softmax(plog, axis=-1)              # (b, G, V)
+            p_at = jnp.take_along_axis(pd, d[..., None], -1)[..., 0]
+            q_at = jnp.take_along_axis(qd, d[..., None], -1)[..., 0]
+            rng, sub, sub2 = jax.random.split(rng, 3)
+            u = jax.random.uniform(sub, (batch_size, G))
+            acc = (u * jnp.maximum(q_at, 1e-20) < p_at).astype(jnp.int32)
+            k = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)   # (b,) 0..G
+            res = jnp.maximum(pd - qd, 0.0)
+            res_sum = jnp.sum(res, axis=-1, keepdims=True)
+            res = jnp.where(res_sum > 0, res / res_sum, pd)
+            r = jax.random.categorical(
+                sub2, jnp.log(jnp.maximum(res, 1e-20)))     # (b, G)
+            jg = jnp.arange(G)[None, :]
+            mixed = jnp.where(jg < k[:, None], d,
+                              jnp.where(jg == k[:, None], r, d))
+            t = jnp.concatenate(
+                [mixed, jnp.full((batch_size, 1), cfg.pad_token_id,
+                                 jnp.int32)], axis=1)       # (b, G+1)
+            k = jnp.where(finished, G, k)
+            cap = jnp.where(k < G, k + 1, G)
+            n = jnp.min(cap)                                # 1..G
+        else:
+            t = jnp.argmax(tlogits, axis=-1).astype(jnp.int32)  # (b, G+1)
+            # longest matching prefix; batch advances by the minimum
+            match = (t[:, :G] == d).astype(jnp.int32)
+            k = jnp.sum(jnp.cumprod(match, axis=1), axis=1)     # (b,)
+            k = jnp.where(finished, G, k)
+            n = jnp.minimum(jnp.min(k) + 1, G)                  # 1..G
 
-        # commit the first n target tokens (pad once a row finished)
+        # commit the first n tokens (pad once a row finished)
         eos_hit = t == cfg.eos_token_id
         fin_before = finished[:, None] | (
             jnp.cumsum(eos_hit, axis=1) - eos_hit > 0)
@@ -442,11 +507,11 @@ def speculative_generate(draft_step, draft_cache, target_step, target_cache,
         dcache = _rollback_cache_index(dcache, cur + n - 1)
         tcache = _rollback_cache_index(tcache, cur + n - 1)
         return (cur + n, seqs, finished, dcache, tcache,
-                n_committed + n, rounds + 1)
+                n_committed + n, rounds + 1, rng)
 
     state = (jnp.asarray(1), seqs, finished, draft_cache, target_cache,
-             jnp.asarray(0), jnp.asarray(0))
-    _, seqs, _, _, _, n_committed, rounds = jax.lax.while_loop(
+             jnp.asarray(0), jnp.asarray(0), rng)
+    _, seqs, _, _, _, n_committed, rounds, _ = jax.lax.while_loop(
         cond, body, state)
     seqs = seqs[:, :L]
     lengths = jnp.sum(seqs != cfg.pad_token_id, axis=-1)
