@@ -158,3 +158,23 @@ def test_tile_cache_shapes():
     tiled = tile_cache(cache, 3)
     assert tiled["layer"]["cached_key"].shape == (6, 4, 2, 3)
     assert tiled["layer"]["cache_index"].shape == ()
+
+
+def test_greedy_generate_do_sample_smoke():
+    """Nucleus sampling through the public generate path (regression:
+    a stray draft_step reference broke every do_sample generation)."""
+    from vlm_compression_tpu.models.t5 import (
+        T5Config, T5ForConditionalGeneration)
+
+    cfg = T5Config.tiny(dtype="float32", param_dtype="float32")
+    model = T5ForConditionalGeneration(cfg)
+    ids = jnp.ones((2, 5), jnp.int32)
+    amask = jnp.ones((2, 5), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, amask,
+                        jnp.zeros((2, 3), jnp.int32))
+    gcfg = GenerationConfig(max_length=7, do_sample=True, top_p=0.9,
+                            temperature=0.8)
+    seqs = t5_generate(model, params, ids, amask, cfg=gcfg,
+                       rng=jax.random.key(1))
+    assert seqs.shape == (2, 7)
+    assert int(seqs.max()) < cfg.vocab_size

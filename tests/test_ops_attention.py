@@ -281,3 +281,28 @@ def test_flash_attention_sharded_mesh():
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_kv_broadcast_bias():
+    """A per-query additive bias with key dim 1 — (b, h, n, 1) — must
+    BROADCAST across keys in the kernel (regression: zero-padding it
+    applied the bias to key column 0 only)."""
+    rng = np.random.default_rng(16)
+    q, k, v = (_rand(rng, 2, 200, 2, 64) * 0.3 for _ in range(3))
+    bias = _rand(rng, 2, 2, 200, 1)
+    _check(q, k, v, [bias], scale=0.125, atol=1e-4)
+
+
+def test_causal_more_queries_than_keys_no_nan():
+    """causal with n > m: early queries see ZERO keys — the dispatch
+    falls back to the reference (the kernel's block skip would emit
+    0/0 NaN rows) and both paths give the uniform-average rows."""
+    rng = np.random.default_rng(17)
+    q = _rand(rng, 1, 384, 2, 64)
+    k = _rand(rng, 1, 128, 2, 64)
+    v = _rand(rng, 1, 128, 2, 64)
+    got = attention_core(q, k, v, scale=0.125, causal=True)
+    assert bool(jnp.isfinite(got).all())
+    want = mha_reference(q, k, v, (), scale=0.125, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)

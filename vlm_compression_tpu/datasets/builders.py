@@ -150,11 +150,17 @@ class Laion2BMultiBuilder(BaseDatasetBuilder):
 
         info = _get(self.config, "build_info", {}) or {}
         storage = _get(info, "storage", "")
+        # --max_train_samples is a GLOBAL budget (map-style builders
+        # truncate annotations before rank slicing) — split it across
+        # hosts so the streamed total matches
+        per_host = None
+        if max_train_samples is not None:
+            per_host = -(-max_train_samples // jax.process_count())
         ds = I.LaionDataset(
             vis_processor=self._processor("vis", "train"),
             text_processor=self._processor("text", "train"),
             location=storage,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
-            max_samples=max_train_samples)
+            max_samples=per_host)
         return {"train": ds}

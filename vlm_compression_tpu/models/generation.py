@@ -106,12 +106,6 @@ def greedy_generate(step_fn, cache, batch_size: int, cfg: GenerationConfig,
     finished = jnp.zeros((batch_size,), bool)
     if rng is None:
         rng = jax.random.key(0)
-    V = 1
-    if cfg.do_sample:
-        # vocab size, statically (the q distributions ride the carry)
-        V = jax.eval_shape(draft_step, jnp.zeros((batch_size, 1),
-                                                 jnp.int32),
-                           draft_cache)[0].shape[-1]
 
     def cond(state):
         i, _, finished, _, _ = state

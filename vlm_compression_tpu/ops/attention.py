@@ -156,12 +156,12 @@ def _round_up(x: int, m: int) -> int:
 def _bias_spec(bias, b, h, bq, bk):
     """BlockSpec for a bias broadcastable to (b, h, n_pad, m_pad):
     size-1 axes pin their block dim to 1 and index to 0."""
-    bb, bh, bn, _ = bias.shape
-    blk = (1, 1, bq if bn > 1 else 1, bk)
+    bb, bh, bn, bm = bias.shape
+    blk = (1, 1, bq if bn > 1 else 1, bk if bm > 1 else 1)
 
     def idx(bi, hi, qi, ki):
         return (bi if bb > 1 else 0, hi if bh > 1 else 0,
-                qi if bn > 1 else 0, ki)
+                qi if bn > 1 else 0, ki if bm > 1 else 0)
 
     return pl.BlockSpec(blk, idx)
 
@@ -182,10 +182,12 @@ def _to_bhnd(x, length, d_pad):
 
 
 def _pad_biases(biases, n_pad, m_pad):
+    # size-1 query/key dims stay size 1 (broadcast in the kernel tile);
+    # zero-padding them would silently bias only the first row/column
     return [jnp.pad(jnp.asarray(x, jnp.float32),
                     [(0, 0), (0, 0),
                      (0, (n_pad - x.shape[2]) if x.shape[2] > 1 else 0),
-                     (0, m_pad - x.shape[3])])
+                     (0, (m_pad - x.shape[3]) if x.shape[3] > 1 else 0)])
             for x in biases]
 
 
@@ -595,6 +597,12 @@ def attention_core(q, k, v, biases: Sequence[Optional[jax.Array]] = (),
         interpret = False
     else:
         interpret = bool(use) and jax.default_backend() != "tpu"
+    if causal and q.shape[1] > k.shape[1]:
+        # right-aligned causal with n > m gives early queries ZERO
+        # visible keys; the kernel's block skip would leave l = 0 (NaN
+        # rows) where the reference defines the uniform average.  No
+        # tower produces this shape — keep the exact semantics anyway.
+        use = False
     if not use:
         return mha_reference(q, k, v, biases, scale, causal)
     return _flash_attention(q, k, v, biases, float(scale), bool(causal),

@@ -443,11 +443,20 @@ def lookup_attention(b: int, h: int, n: int, m: int, d: int,
 
 
 def _attn_block_candidates(n: int, m: int):
-    cands = []
+    def up128(x):
+        return ((x + 127) // 128) * 128
+
+    seen, cands = set(), []
     for bq in (256, 128, 512):
         for bk in (256, 128, 512):
-            if bq * bk <= 512 * 256:      # keep the score tile comfortably
-                cands.append((bq, bk))    # inside VMEM with q/k/v/acc
+            if bq * bk > 512 * 256:       # keep the score tile comfortably
+                continue                  # inside VMEM with q/k/v/acc
+            # the wrapper clamps blocks to the padded lengths; dedupe
+            # candidates that collapse to the same effective tiling
+            eff = (min(bq, up128(n)), min(bk, up128(m)))
+            if eff not in seen:
+                seen.add(eff)
+                cands.append(eff)
     return cands
 
 

@@ -115,6 +115,12 @@ class VQATask(BaseTask):
         if isinstance(model.module, Blip2T5Instruct):
             ids, mask = batch_encode(self.tokenizer, questions, 128)
             if self.speculative_gamma > 0:
+                if self.num_beams > 1:
+                    logging.warning(
+                        "speculative_gamma=%d replaces num_beams=%d with "
+                        "greedy draft-and-verify (answers = the dense "
+                        "teacher's GREEDY decode, not beam search)",
+                        self.speculative_gamma, self.num_beams)
                 gen_cfg = dataclasses.replace(gen_cfg, num_beams=1)
                 seqs = generate_t5(model.module, model.variables, image,
                                    jnp.asarray(ids), jnp.asarray(mask),
