@@ -62,7 +62,15 @@ class DataLoader:
         """Iterable-only datasets (e.g. LaionDataset tar streams) have no
         __len__/__getitem__; they batch by draining the iterator.  Cross-
         host sharding happens INSIDE such datasets (shard-level
-        process_index slicing), not by index arithmetic here."""
+        process_index slicing), not by index arithmetic here.
+
+        Multi-host caveat: unlike the map path (which pads so every rank
+        sees the SAME number of batches per epoch), per-host batch counts
+        from a stream differ (shards differ in size), and the final batch
+        may be ragged.  Epoch-style lock-step iteration would desync
+        cross-host collectives — drive streams with the ITERATION-driven
+        runner (runner_iter / iters_per_inner_epoch), which bounds every
+        host to the same step count."""
         return not hasattr(self.dataset, "__len__")
 
     def _indices(self) -> np.ndarray:
