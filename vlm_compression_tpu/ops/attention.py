@@ -30,10 +30,11 @@ VJP of the naive reference (one extra softmax recompute, the same trade
 the O(n·m) transient in the backward is cheap; the forward is where
 serving/prefill time goes.
 
-Dispatch mirrors ops/masked_linear.py: "auto" uses the Pallas kernel on
-TPU for q_len ≥ 128 (prefill/training shapes; decode steps stay on the
-XLA path where dispatch latency dominates), False forces the reference,
-True forces the kernel.  CPU/interpret mode is used by the tests.
+Dispatch mirrors ops/masked_linear.py exactly: "auto" consults the
+per-shape "attn:" decisions tuned on-chip (ops/autotune.py) — a shape
+runs the kernel only after a measured win; unknown shapes, decode
+steps (q_len < 128) and CPU use the XLA reference.  False forces the
+reference, True forces the kernel (interpret mode off-TPU — the tests).
 """
 
 from __future__ import annotations
@@ -552,8 +553,12 @@ _flash_attention.defvjp(_flash_fwd, _flash_bwd)
 # Public dispatching API.
 # ---------------------------------------------------------------------------
 
-# "auto" — Pallas kernel on TPU at prefill/training shapes (q_len ≥ 128),
-#          XLA reference otherwise (decode steps, CPU, tiny shapes)
+# "auto" — per-shape decisions from ops/autotune.py ("attn:" family),
+#          the same doctrine as masked_matmul: a shape runs the Pallas
+#          kernel only after an on-chip measurement recorded a win for
+#          it; unknown shapes, decode steps, CPU → the XLA reference
+#          (never wrong, sometimes slower).  `--autotune` or
+#          scripts/chip_validation.py tunes the flagship classes.
 # True    — force the kernel (interpret mode off-TPU; used by tests)
 # False   — always the reference
 _USE_FLASH = "auto"
@@ -580,20 +585,15 @@ def attention_core(q, k, v, biases: Sequence[Optional[jax.Array]] = (),
     blocks = (256, 256)
     use = _USE_FLASH
     if use == "auto":
-        use = (jax.default_backend() == "tpu"
-               and q.shape[1] >= _MIN_Q_LEN)
-        if use:
-            # tuned per-shape decisions refine block sizes and can flip
-            # pathological shapes back to XLA (ops/autotune.py "attn:")
+        use = False
+        if jax.default_backend() == "tpu" and q.shape[1] >= _MIN_Q_LEN:
             from vlm_compression_tpu.ops.autotune import lookup_attention
 
             b, n, h, d = q.shape
             dec = lookup_attention(b, h, n, k.shape[1], d, str(q.dtype))
-            if dec is not None:
-                if dec["backend"] != "pallas":
-                    use = False
-                elif dec["tiles"]:
-                    blocks = tuple(dec["tiles"])
+            use = dec is not None and dec["backend"] == "pallas"
+            if use and dec["tiles"]:
+                blocks = tuple(dec["tiles"])
         interpret = False
     else:
         interpret = bool(use) and jax.default_backend() != "tpu"
