@@ -251,14 +251,17 @@ def generate_t5(model: "Blip2T5Instruct", variables, image, input_ids,
                                    gen_cfg.max_length)
         seqs, _ = beam_search(step, cache, b, gen_cfg)
         return seqs
-    if speculative_gamma > 0 and not gen_cfg.do_sample:
+    if speculative_gamma > 0:
+        # greedy: token-identical to llm_mode greedy; do_sample: exact
+        # samples from the llm_mode nucleus distribution (rejection rule)
         max_len = gen_cfg.max_length + speculative_gamma + 1
         dstep, dcache = make_t5_step(t5, t5_vars, enc, enc_mask,
                                      draft_llm_mode, max_len)
         tstep, tcache = make_t5_step(t5, t5_vars, enc, enc_mask, llm_mode,
                                      max_len)
         seqs, _, _ = speculative_generate(dstep, dcache, tstep, tcache, b,
-                                          gen_cfg, gamma=speculative_gamma)
+                                          gen_cfg, gamma=speculative_gamma,
+                                          rng=rng)
         return seqs
     step, cache = make_t5_step(t5, t5_vars, enc, enc_mask, llm_mode,
                                gen_cfg.max_length)

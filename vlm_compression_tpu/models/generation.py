@@ -516,7 +516,8 @@ def t5_speculative_generate(model, variables, input_ids=None,
                             attention_mask=None, inputs_embeds=None,
                             cfg: Optional[GenerationConfig] = None,
                             draft_mode: str = "masked",
-                            target_mode: str = "dense", gamma: int = 4):
+                            target_mode: str = "dense", gamma: int = 4,
+                            rng=None):
     """Self-speculative T5 generate: the compressed student
     (``draft_mode``) drafts, the dense teacher (``target_mode``) verifies
     — one variables dict, two forward modes, exactly the RESSA pairing.
@@ -539,4 +540,4 @@ def t5_speculative_generate(model, variables, input_ids=None,
     tstep, tcache = make_t5_step(model, variables, enc_out,
                                  attention_mask, target_mode, max_len)
     return speculative_generate(dstep, dcache, tstep, tcache, b, cfg,
-                                gamma=gamma)
+                                gamma=gamma, rng=rng)
