@@ -167,3 +167,70 @@ def test_sampling_mode_top_p_and_multiround():
     emitted = np.asarray(seqs[:, 1:]).ravel()
     assert np.all(allowed[emitted]), "token outside the target nucleus"
     assert int(stats["committed"]) == 7 * 1 or int(stats["rounds"]) >= 3
+
+
+def _vicuna_setup(seed=0):
+    from vlm_compression_tpu.models.blip2_vicuna_instruct import (
+        Blip2VicunaInstruct, Blip2VicunaInstructConfig)
+
+    cfg = Blip2VicunaInstructConfig.tiny()
+    model = Blip2VicunaInstruct(cfg)
+    b = 2
+    batch = dict(image=jnp.ones((b, 28, 28, 3), jnp.float32) * 0.1,
+                 text_input_ids=jnp.ones((b, 6), jnp.int32),
+                 text_attention_mask=jnp.ones((b, 6), jnp.int32),
+                 labels=jnp.full((b, 6), -100, jnp.int32),
+                 qformer_input_ids=jnp.ones((b, 6), jnp.int32),
+                 qformer_attention_mask=jnp.ones((b, 6), jnp.int32))
+    variables = dict(model.init(jax.random.PRNGKey(seed), **batch))
+    return model, variables, batch
+
+
+@pytest.mark.slow
+def test_vicuna_speculative_matches_greedy():
+    """Decoder-only (prefix-primed cache): speculative must equal plain
+    greedy under the target mode — exercises the cache_offset rollback
+    and the multi-token chunk positions in make_causal_step."""
+    from vlm_compression_tpu.models.blip2_vicuna_instruct import (
+        generate_vicuna)
+
+    model, variables, batch = _vicuna_setup(4)
+    gcfg = GenerationConfig(num_beams=1, max_length=7, eos_token_id=2,
+                            pad_token_id=0)
+    prompt = jnp.asarray([[5, 6, 7, 8], [9, 10, 11, 12]], jnp.int32)
+    pmask = jnp.ones((2, 4), jnp.int32)
+    want = generate_vicuna(model, variables, batch["image"], prompt, pmask,
+                           batch["qformer_input_ids"],
+                           batch["qformer_attention_mask"],
+                           gen_cfg=gcfg, llm_mode="dense")
+    got = generate_vicuna(model, variables, batch["image"], prompt, pmask,
+                          batch["qformer_input_ids"],
+                          batch["qformer_attention_mask"],
+                          gen_cfg=gcfg, llm_mode="dense",
+                          draft_llm_mode="masked", speculative_gamma=3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.slow
+def test_opt_speculative_matches_greedy():
+    from vlm_compression_tpu.models.blip2_opt import (
+        Blip2OPT, Blip2OPTConfig, generate_opt)
+
+    cfg = Blip2OPTConfig.tiny()
+    model = Blip2OPT(cfg)
+    b = 2
+    batch = dict(image=jnp.ones((b, 28, 28, 3), jnp.float32) * 0.1,
+                 text_input_ids=jnp.ones((b, 6), jnp.int32),
+                 text_attention_mask=jnp.ones((b, 6), jnp.int32),
+                 labels=jnp.full((b, 6), -100, jnp.int32))
+    variables = dict(model.init(jax.random.PRNGKey(5), **batch))
+    gcfg = GenerationConfig(num_beams=1, max_length=7, eos_token_id=2,
+                            pad_token_id=1)
+    prompt = jnp.asarray([[5, 6, 7, 8], [9, 10, 11, 12]], jnp.int32)
+    pmask = jnp.ones((2, 4), jnp.int32)
+    want = generate_opt(model, variables, batch["image"], prompt, pmask,
+                        gen_cfg=gcfg, llm_mode="dense")
+    got = generate_opt(model, variables, batch["image"], prompt, pmask,
+                       gen_cfg=gcfg, llm_mode="dense",
+                       draft_llm_mode="masked", speculative_gamma=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

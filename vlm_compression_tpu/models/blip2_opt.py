@@ -81,7 +81,9 @@ class Blip2OPT(nn.Module):
 
 def generate_opt(model: Blip2OPT, variables, image, prompt_input_ids,
                  prompt_attention_mask, gen_cfg=None, vit_mode="masked",
-                 llm_mode="masked", qformer_mode="masked", rng=None):
+                 llm_mode="masked", qformer_mode="masked", rng=None,
+                 speculative_gamma: int = 0,
+                 draft_llm_mode: str = "masked"):
     """BLIP-2-OPT generate (reference blip2_opt.py:171-286): image
     prefix + prompt prime the OPT KV cache; the last prompt token seeds
     the decode loop (same machinery as generate_vicuna — OPT shares the
@@ -94,6 +96,7 @@ def generate_opt(model: Blip2OPT, variables, image, prompt_input_ids,
         GenerationConfig,
         beam_search,
         greedy_generate,
+        speculative_generate,
     )
     from vlm_compression_tpu.models.llama import make_causal_step
 
@@ -113,6 +116,30 @@ def generate_opt(model: Blip2OPT, variables, image, prompt_input_ids,
         [jnp.ones((b, nq), jnp.int32),
          prompt_attention_mask[:, :-1].astype(jnp.int32)], axis=1)
 
+    start = prompt_input_ids[:, -1].astype(jnp.int32)
+
+    if speculative_gamma > 0:
+        max_len = gen_cfg.max_length + speculative_gamma + 1
+
+        def chunk_start(step):
+            def f(tokens, c):
+                tok = jnp.where(tokens == -1, start[:, None], tokens)
+                return step(tok, c)
+            return f
+
+        dstep, dcache = make_causal_step(
+            opt, opt_vars, prefix_embeds, prefix_mask,
+            mode=draft_llm_mode, max_decode_len=max_len)
+        tstep, tcache = make_causal_step(
+            opt, opt_vars, prefix_embeds, prefix_mask,
+            mode=llm_mode, max_decode_len=max_len)
+        gcfg = _dc.replace(gen_cfg, decoder_start_token_id=-1)
+        seqs, _, _ = speculative_generate(
+            chunk_start(dstep), dcache, chunk_start(tstep), tcache, b,
+            gcfg, gamma=speculative_gamma, rng=rng,
+            cache_offset=prefix_embeds.shape[1])
+        return seqs.at[:, 0].set(start)
+
     k = gen_cfg.num_beams
     if k > 1:
         prefix_embeds = jnp.repeat(prefix_embeds, k, axis=0)
@@ -120,7 +147,6 @@ def generate_opt(model: Blip2OPT, variables, image, prompt_input_ids,
     step, cache = make_causal_step(opt, opt_vars, prefix_embeds,
                                    prefix_mask, mode=llm_mode,
                                    max_decode_len=gen_cfg.max_length)
-    start = prompt_input_ids[:, -1].astype(jnp.int32)
     start_b = jnp.repeat(start, k, axis=0) if k > 1 else start
 
     def step_with_start(tokens, c):

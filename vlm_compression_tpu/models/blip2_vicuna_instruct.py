@@ -26,6 +26,7 @@ from vlm_compression_tpu.models.generation import (
     GenerationConfig,
     beam_search,
     greedy_generate,
+    speculative_generate,
 )
 from vlm_compression_tpu.models.layers import SparseLinear
 from vlm_compression_tpu.models.llama import (
@@ -143,7 +144,9 @@ def generate_vicuna(model: Blip2VicunaInstruct, variables, image,
                     qformer_input_ids=None, qformer_attention_mask=None,
                     gen_cfg: GenerationConfig = None,
                     vit_mode="masked", llm_mode="masked",
-                    qformer_mode="masked", rng=None):
+                    qformer_mode="masked", rng=None,
+                    speculative_gamma: int = 0,
+                    draft_llm_mode: str = "masked"):
     """InstructBLIP-Vicuna generate (reference :259-379): image prefix +
     left-padded prompt prime the KV cache; the last prompt token seeds the
     loop; beam or greedy/nucleus decode over the llm_model subtree."""
@@ -164,6 +167,35 @@ def generate_vicuna(model: Blip2VicunaInstruct, variables, image,
         [jnp.ones((b, nq), jnp.int32),
          prompt_attention_mask[:, :-1].astype(jnp.int32)], axis=1)
 
+    # the decode loop's "start token" is the real last prompt token; per-
+    # sample values are injected by overwriting the seed column after init
+    start = prompt_input_ids[:, -1].astype(jnp.int32)
+
+    if speculative_gamma > 0:
+        # draft (draft_llm_mode) proposes, target (llm_mode) verifies in
+        # chunks; both prime their own cache under their own mode.  The
+        # cache holds the primed prefix, so rollback offsets by its width.
+        max_len = gen_cfg.max_length + speculative_gamma + 1
+
+        def chunk_start(step):
+            def f(tokens, c):
+                tok = jnp.where(tokens == -1, start[:, None], tokens)
+                return step(tok, c)
+            return f
+
+        dstep, dcache = make_causal_step(
+            llm, llm_vars, prefix_embeds, prefix_mask,
+            mode=draft_llm_mode, max_decode_len=max_len)
+        tstep, tcache = make_causal_step(
+            llm, llm_vars, prefix_embeds, prefix_mask,
+            mode=llm_mode, max_decode_len=max_len)
+        gcfg = dataclasses.replace(gen_cfg, decoder_start_token_id=-1)
+        seqs, _, _ = speculative_generate(
+            chunk_start(dstep), dcache, chunk_start(tstep), tcache, b,
+            gcfg, gamma=speculative_gamma, rng=rng,
+            cache_offset=prefix_embeds.shape[1])
+        return seqs.at[:, 0].set(start)
+
     k = gen_cfg.num_beams
     if k > 1:
         prefix_embeds = jnp.repeat(prefix_embeds, k, axis=0)
@@ -171,9 +203,6 @@ def generate_vicuna(model: Blip2VicunaInstruct, variables, image,
     step, cache = make_causal_step(llm, llm_vars, prefix_embeds, prefix_mask,
                                    mode=llm_mode,
                                    max_decode_len=gen_cfg.max_length)
-    # the decode loop's "start token" is the real last prompt token; per-
-    # sample values are injected by overwriting the seed column after init
-    start = prompt_input_ids[:, -1].astype(jnp.int32)
     if k > 1:
         # beam_search seeds every beam with decoder_start_token_id; patch
         # via a wrapper that substitutes the per-sample start token

@@ -334,7 +334,7 @@ def _rollback_cache_index(cache, idx):
 
 def speculative_generate(draft_step, draft_cache, target_step, target_cache,
                          batch_size: int, cfg: GenerationConfig,
-                         gamma: int = 4, rng=None):
+                         gamma: int = 4, rng=None, cache_offset: int = 0):
     """Draft-and-verify decoding (speculative decoding).
 
     With ``cfg.do_sample`` the classic rejection-sampling rule runs
@@ -367,6 +367,9 @@ def speculative_generate(draft_step, draft_cache, target_step, target_cache,
     ``gamma`` per round (the classic γ+1 bonus token is skipped: the
     draft cache never ingested its own final proposal, and committing
     past it would leave a KV hole).
+
+    ``cache_offset``: number of cache slots already primed (the causal
+    towers prime the prompt prefix; T5's decoder cache starts empty).
 
     Returns (sequences (b, max_length), lengths, stats) where stats =
     {"rounds": verify calls, "committed": total committed tokens} —
@@ -498,8 +501,10 @@ def speculative_generate(draft_step, draft_cache, target_step, target_cache,
             axis=1)
 
         # roll both caches back to the committed frontier
-        dcache = _rollback_cache_index(dcache, cur + n - 1)
-        tcache = _rollback_cache_index(tcache, cur + n - 1)
+        # (cache_offset = slots already holding a primed prompt prefix,
+        # e.g. make_causal_step's p — rewinding into it would be fatal)
+        dcache = _rollback_cache_index(dcache, cache_offset + cur + n - 1)
+        tcache = _rollback_cache_index(tcache, cache_offset + cur + n - 1)
         return (cur + n, seqs, finished, dcache, tcache,
                 n_committed + n, rounds + 1, rng)
 

@@ -312,7 +312,10 @@ def make_causal_step(model, variables, prefix_embeds, prefix_mask=None,
         bsz = tokens.shape[0]
         reps = bsz // b
         vc = jnp.repeat(valid_count, reps, axis=0) if reps > 1 else valid_count
-        positions = (vc + (cur - p))[:, None]
+        # multi-token chunks (speculative verify) take consecutive
+        # positions from the cache frontier
+        positions = ((vc + (cur - p))[:, None]
+                     + jnp.arange(tokens.shape[1])[None, :])
         mask = full_mask
         if mask is not None and reps > 1:
             mask = jnp.repeat(mask, reps, axis=0)
