@@ -112,36 +112,39 @@ class VQATask(BaseTask):
             generate_opt,
         )
 
+        def _spec(gen_cfg):
+            """(gen_cfg, extra generate kwargs) for speculative serving:
+            all three families take the same knobs — masked student
+            drafts, dense teacher verifies."""
+            if self.speculative_gamma <= 0:
+                return gen_cfg, {}
+            if self.num_beams > 1:
+                logging.warning(
+                    "speculative_gamma=%d replaces num_beams=%d with "
+                    "greedy draft-and-verify (answers = the dense "
+                    "teacher's GREEDY decode, not beam search)",
+                    self.speculative_gamma, self.num_beams)
+            return (dataclasses.replace(gen_cfg, num_beams=1),
+                    dict(llm_mode="dense", draft_llm_mode="masked",
+                         speculative_gamma=self.speculative_gamma))
+
         if isinstance(model.module, Blip2T5Instruct):
             ids, mask = batch_encode(self.tokenizer, questions, 128)
-            if self.speculative_gamma > 0:
-                if self.num_beams > 1:
-                    logging.warning(
-                        "speculative_gamma=%d replaces num_beams=%d with "
-                        "greedy draft-and-verify (answers = the dense "
-                        "teacher's GREEDY decode, not beam search)",
-                        self.speculative_gamma, self.num_beams)
-                gen_cfg = dataclasses.replace(gen_cfg, num_beams=1)
-                seqs = generate_t5(model.module, model.variables, image,
-                                   jnp.asarray(ids), jnp.asarray(mask),
-                                   jnp.asarray(q_ids), jnp.asarray(q_mask),
-                                   gen_cfg=gen_cfg, llm_mode="dense",
-                                   draft_llm_mode="masked",
-                                   speculative_gamma=self.speculative_gamma)
-            else:
-                seqs = generate_t5(model.module, model.variables, image,
-                                   jnp.asarray(ids), jnp.asarray(mask),
-                                   jnp.asarray(q_ids), jnp.asarray(q_mask),
-                                   gen_cfg=gen_cfg)
+            gen_cfg, spec_kw = _spec(gen_cfg)
+            seqs = generate_t5(model.module, model.variables, image,
+                               jnp.asarray(ids), jnp.asarray(mask),
+                               jnp.asarray(q_ids), jnp.asarray(q_mask),
+                               gen_cfg=gen_cfg, **spec_kw)
         elif isinstance(model.module, Blip2OPT):
             ids, mask = batch_encode(self.tokenizer, questions, 128,
                                      left_pad=True, add_bos=True)
             gen_cfg = GenerationConfig(
                 num_beams=self.num_beams, max_length=self.max_len + 1,
                 min_length=self.min_len, eos_token_id=2, pad_token_id=1)
+            gen_cfg, spec_kw = _spec(gen_cfg)
             seqs = generate_opt(model.module, model.variables, image,
                                 jnp.asarray(ids), jnp.asarray(mask),
-                                gen_cfg=gen_cfg)
+                                gen_cfg=gen_cfg, **spec_kw)
         else:
             ids, mask = batch_encode(self.tokenizer, questions, 128,
                                      left_pad=True, add_bos=True)
@@ -149,10 +152,11 @@ class VQATask(BaseTask):
                 num_beams=self.num_beams, max_length=self.max_len + 1,
                 min_length=self.min_len,
                 eos_token_id=model.module.cfg.llm.eos_token_id)
+            gen_cfg, spec_kw = _spec(gen_cfg)
             seqs = generate_vicuna(model.module, model.variables, image,
                                    jnp.asarray(ids), jnp.asarray(mask),
                                    jnp.asarray(q_ids), jnp.asarray(q_mask),
-                                   gen_cfg=gen_cfg)
+                                   gen_cfg=gen_cfg, **spec_kw)
         answers = self._decode(seqs)
         if self.apply_lemmatizer:
             from vlm_compression_tpu.evaluation.lemmatize import lemmatize
