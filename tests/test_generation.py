@@ -178,3 +178,19 @@ def test_greedy_generate_do_sample_smoke():
                        rng=jax.random.key(1))
     assert seqs.shape == (2, 7)
     assert int(seqs.max()) < cfg.vocab_size
+
+
+def test_repetition_penalty_ignores_negative_sentinel():
+    """The decoder-only paths keep -1 in seqs[:, 0] as a start sentinel;
+    it must not penalize anything (the scatter would wrap it to vocab id
+    V-1 — confirmed bug)."""
+    from vlm_compression_tpu.models.generation import (
+        apply_repetition_penalty)
+
+    logits = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+    seqs = jnp.asarray([[-1, 1, 0, 0]])
+    valid = jnp.asarray([[True, True, False, False]])
+    out = apply_repetition_penalty(logits, seqs, valid, 2.0)
+    # token 1 penalized (present), token 3 (== V-1) untouched
+    np.testing.assert_allclose(np.asarray(out)[0],
+                               [1.0, 1.0, 3.0, 4.0])

@@ -61,6 +61,9 @@ def apply_repetition_penalty(logits, seqs, valid, penalty: float):
     v = logits.shape[-1]
     flat_logits = logits.reshape(-1, v)
     flat_seqs = seqs.reshape(-1, seqs.shape[-1])
+    # negative ids (the decoder-only paths' -1 start sentinel) must not
+    # penalize anything — the scatter would wrap them to vocab id V-1
+    valid = valid & (seqs >= 0)
     flat_valid = valid.reshape(-1, seqs.shape[-1])
     rows = jnp.arange(flat_seqs.shape[0])[:, None]
     present = jnp.zeros(flat_logits.shape, bool).at[
@@ -471,8 +474,7 @@ def speculative_generate(draft_step, draft_cache, target_step, target_cache,
             r = jax.random.categorical(
                 sub2, jnp.log(jnp.maximum(res, 1e-20)))     # (b, G)
             jg = jnp.arange(G)[None, :]
-            mixed = jnp.where(jg < k[:, None], d,
-                              jnp.where(jg == k[:, None], r, d))
+            mixed = jnp.where(jg == k[:, None], r, d)
             t = jnp.concatenate(
                 [mixed, jnp.full((batch_size, 1), cfg.pad_token_id,
                                  jnp.int32)], axis=1)       # (b, G+1)
@@ -535,12 +537,11 @@ def t5_speculative_generate(model, variables, input_ids=None,
         variables, input_ids, inputs_embeds, attention_mask, target_mode,
         method=model.encode)
     b = enc_out.shape[0]
-    # the draft encodes with ITS mode: enc cross-attn inputs differ
-    enc_out_d = model.apply(
-        variables, input_ids, inputs_embeds, attention_mask, draft_mode,
-        method=model.encode)
+    # the draft decodes against the TARGET encoding (one encoder pass —
+    # same as the blip2 wrapper): the draft only sets the accept rate,
+    # never the committed output, so output exactness is unaffected
     max_len = cfg.max_length + gamma + 1
-    dstep, dcache = make_t5_step(model, variables, enc_out_d,
+    dstep, dcache = make_t5_step(model, variables, enc_out,
                                  attention_mask, draft_mode, max_len)
     tstep, tcache = make_t5_step(model, variables, enc_out,
                                  attention_mask, target_mode, max_len)

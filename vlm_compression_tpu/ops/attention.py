@@ -154,7 +154,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _bias_spec(bias, b, h, bq, bk):
+def _bias_spec(bias, bq, bk):
     """BlockSpec for a bias broadcastable to (b, h, n_pad, m_pad):
     size-1 axes pin their block dim to 1 and index to 0."""
     bb, bh, bn, bm = bias.shape
@@ -218,7 +218,7 @@ def _flash_attention_pallas(q, k, v, biases, scale, causal,
             pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
             pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
-        ] + [_bias_spec(x, b, h, bq, bk) for x in biases],
+        ] + [_bias_spec(x, bq, bk) for x in biases],
         out_specs=(
             pl.BlockSpec((1, 1, bq, d_pad),
                          lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -590,7 +590,8 @@ def attention_core(q, k, v, biases: Sequence[Optional[jax.Array]] = (),
             from vlm_compression_tpu.ops.autotune import lookup_attention
 
             b, n, h, d = q.shape
-            dec = lookup_attention(b, h, n, k.shape[1], d, str(q.dtype))
+            dec = lookup_attention(b, h, n, k.shape[1], d, str(q.dtype),
+                                   bool(causal))
             use = dec is not None and dec["backend"] == "pallas"
             if use and dec["tiles"]:
                 blocks = tuple(dec["tiles"])

@@ -424,22 +424,21 @@ def autotune_sparse_lora(shapes=None, r: int = 8, dtype: str = "bfloat16",
 # ---------------------------------------------------------------------------
 # Flash attention: fused online-softmax kernel vs XLA's materialized
 # scores path (ops/attention.py).  Decision family "attn:" keyed on
-# (batch, heads, q_len, kv_len, head_dim, dtype); the value's "tiles"
-# field holds [block_q, block_k].  Unknown shapes keep the structural
-# default (kernel at q_len ≥ 128): unlike the masked matmul — where XLA
-# fuses the mask into the dot and is a legitimate winner — XLA cannot
-# fuse a softmax between two matmuls, so the kernel default is sound and
-# tuning only refines block sizes / catches pathological shapes.
+# (batch, heads, q_len, kv_len, head_dim, dtype, causal); the value's
+# "tiles" field holds [block_q, block_k].  Same doctrine as the masked
+# matmul: unknown shape classes run the XLA reference (never wrong);
+# the kernel activates per class only after a measured on-chip win.
 # ---------------------------------------------------------------------------
 
 
-def _attn_key(b: int, h: int, n: int, m: int, d: int, dtype: str) -> str:
-    return f"attn:{b},{h},{n},{m},{d},{dtype}"
+def _attn_key(b: int, h: int, n: int, m: int, d: int, dtype: str,
+              causal: bool) -> str:
+    return f"attn:{b},{h},{n},{m},{d},{dtype},{'c' if causal else 'f'}"
 
 
 def lookup_attention(b: int, h: int, n: int, m: int, d: int,
-                     dtype: str) -> Optional[dict]:
-    return _load_cache().get(_attn_key(b, h, n, m, d, dtype))
+                     dtype: str, causal: bool) -> Optional[dict]:
+    return _load_cache().get(_attn_key(b, h, n, m, d, dtype, causal))
 
 
 def _attn_block_candidates(n: int, m: int):
@@ -469,7 +468,7 @@ def tune_attention(b: int, h: int, n: int, m: int, d: int,
     from vlm_compression_tpu.ops import attention as at
 
     cache = _load_cache()
-    key = _attn_key(b, h, n, m, d, dtype)
+    key = _attn_key(b, h, n, m, d, dtype, causal)
     if key in cache:
         return cache[key]
     if jax.default_backend() != "tpu":
@@ -536,7 +535,7 @@ def autotune_attention(shapes=None, dtype: str = "bfloat16",
                        iters: int = 10, verbose: bool = True) -> dict:
     out = {}
     for b, h, n, m, d, causal in (shapes or ATTN_SHAPES):
-        out[_attn_key(b, h, n, m, d, dtype)] = tune_attention(
+        out[_attn_key(b, h, n, m, d, dtype, causal)] = tune_attention(
             b, h, n, m, d, dtype=dtype, causal=causal, iters=iters,
             verbose=verbose)
     return out
