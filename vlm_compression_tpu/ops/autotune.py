@@ -461,10 +461,15 @@ def _attn_block_candidates(n: int, m: int):
 
 def tune_attention(b: int, h: int, n: int, m: int, d: int,
                    dtype: str = "bfloat16", causal: bool = False,
-                   with_bias: bool = True, iters: int = 10,
+                   bias_pattern: str = "mask", iters: int = 10,
                    verbose: bool = False) -> dict:
     """Measure the XLA reference vs flash block candidates for one
-    attention shape class; record and return the decision."""
+    attention shape class; record and return the decision.
+
+    ``bias_pattern`` reproduces the towers' actual additive terms so the
+    measured class is the executed one: "none" (ViT), "mask" a padding
+    mask (b, 1, 1, m), "relpos+mask" T5's (1, h, n, m) + (b, 1, 1, m),
+    "full" the decoder-only combined causal+pad mask (b, 1, n, m)."""
     from vlm_compression_tpu.ops import attention as at
 
     cache = _load_cache()
@@ -480,10 +485,20 @@ def tune_attention(b: int, h: int, n: int, m: int, d: int,
     q = jax.random.normal(kq, (b, n, h, d), jnp.float32).astype(jdt)
     k = jax.random.normal(kk, (b, m, h, d), jnp.float32).astype(jdt)
     v = jax.random.normal(kv, (b, m, h, d), jnp.float32).astype(jdt)
-    biases = []
-    if with_bias:
-        biases = [jnp.where(jax.random.bernoulli(kb, 0.9, (b, 1, 1, m)),
-                            0.0, -1e9).astype(jnp.float32)]
+    pad = jnp.where(jax.random.bernoulli(kb, 0.9, (b, 1, 1, m)),
+                    0.0, -1e9).astype(jnp.float32)
+    if bias_pattern == "none":
+        biases = []
+    elif bias_pattern == "mask":
+        biases = [pad]
+    elif bias_pattern == "relpos+mask":
+        biases = [jax.random.normal(kb, (1, h, n, m), jnp.float32), pad]
+    elif bias_pattern == "full":
+        tri = jnp.where(jnp.arange(m)[None, :]
+                        <= jnp.arange(n)[:, None] + (m - n), 0.0, -1e9)
+        biases = [tri[None, None] + pad]
+    else:
+        raise ValueError(bias_pattern)
     scale = float(d) ** -0.5
 
     t_xla = time_call(
@@ -520,22 +535,24 @@ def tune_attention(b: int, h: int, n: int, m: int, d: int,
     return decision
 
 
-# Flagship attention shape classes: EVA ViT-g prefill (batch 16, 257
-# tokens, 16 heads × 88), T5-XL long-sequence encoder (language-modeling
-# / retrieval batches), Vicuna-7B prefill (32 heads × 128, causal).
+# Flagship attention shape classes with the towers' ACTUAL bias terms:
+# EVA ViT-g prefill (batch 16, 257 tokens, 16 heads × 88, no bias),
+# T5-XL long-sequence encoder (rel-pos + padding mask), Vicuna-7B
+# prefill (combined causal+pad mask passed as a bias, causal=False —
+# how llama.py actually calls attention_core).
 ATTN_SHAPES = [
-    # (b, h, n, m, d, causal)
-    (16, 16, 257, 257, 88, False),
-    (8, 32, 512, 512, 64, False),
-    (4, 32, 512, 512, 128, True),
+    # (b, h, n, m, d, causal, bias_pattern)
+    (16, 16, 257, 257, 88, False, "none"),
+    (8, 32, 512, 512, 64, False, "relpos+mask"),
+    (4, 32, 512, 512, 128, False, "full"),
 ]
 
 
 def autotune_attention(shapes=None, dtype: str = "bfloat16",
                        iters: int = 10, verbose: bool = True) -> dict:
     out = {}
-    for b, h, n, m, d, causal in (shapes or ATTN_SHAPES):
+    for b, h, n, m, d, causal, pattern in (shapes or ATTN_SHAPES):
         out[_attn_key(b, h, n, m, d, dtype, causal)] = tune_attention(
-            b, h, n, m, d, dtype=dtype, causal=causal, iters=iters,
-            verbose=verbose)
+            b, h, n, m, d, dtype=dtype, causal=causal,
+            bias_pattern=pattern, iters=iters, verbose=verbose)
     return out
