@@ -169,3 +169,17 @@ def test_evaluate_cli_int4(workdir):
         "--quantize_int4", "--int4_group", "8",
     ])
     assert "val" in stats["eval_results"]
+
+
+def test_cli_serving_flags_parse_and_wire():
+    """--speculative_gamma / --kv_cache_int8: flags parse and reach the
+    model/run configs (the factory flips kv_cache_int8 on every tower
+    config that has it)."""
+    from vlm_compression_tpu.cli.evaluate import parse_args
+    from vlm_compression_tpu.models.factory import build_model_config
+
+    args = parse_args(["--cfg-path", "x.yaml", "--speculative_gamma", "4",
+                       "--kv_cache_int8", "--tiny"])
+    assert args.speculative_gamma == 4 and args.kv_cache_int8
+    arch, cfg = build_model_config({"tiny": True, "kv_cache_int8": True})
+    assert cfg.t5.kv_cache_int8

@@ -87,6 +87,14 @@ def parse_args(argv=None):
                         "mutually exclusive with --quantize_int8)")
     p.add_argument("--int4_group", type=int, default=128,
                    help="input rows per int4 scale group")
+    p.add_argument("--speculative_gamma", type=int, default=0,
+                   help="serve with speculative decoding: the masked "
+                        "student drafts k tokens, the DENSE teacher "
+                        "verifies in one chunked pass (answers = the "
+                        "teacher's greedy decode; overrides num_beams)")
+    p.add_argument("--kv_cache_int8", action="store_true",
+                   help="store decode KV caches as int8 codes + absmax "
+                        "scales (half the persistent decode memory)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--model_size", default=None)
     p.add_argument("--seed", type=int, default=42)
@@ -159,6 +167,10 @@ def main(argv=None):
         model_cfg["tiny"] = True
     if args.model_size:
         model_cfg["model_type"] = args.model_size
+    if args.kv_cache_int8:
+        model_cfg["kv_cache_int8"] = True
+    if args.speculative_gamma:
+        cfg.run_cfg["speculative_gamma"] = args.speculative_gamma
 
     job_id = args.job_id or time.strftime("%Y%m%d%H%M%S")
     output_dir = _get(cfg.run_cfg, "output_dir", f"output/{job_id}")

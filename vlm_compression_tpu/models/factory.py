@@ -80,24 +80,27 @@ def build_model_config(model_cfg) -> Tuple[str, object]:
 
     arch, cfg = _build_arch_config(model_cfg, arch, size, tiny,
                                    r_v, r_l, r_q, alpha)
+    def set_field_everywhere(node, field, value):
+        """Flip a knob on every nested tower config that carries it."""
+        if dataclasses.is_dataclass(node):
+            updates = {}
+            for f in dataclasses.fields(node):
+                v = getattr(node, f.name)
+                if f.name == field:
+                    updates[f.name] = value
+                elif dataclasses.is_dataclass(v):
+                    updates[f.name] = set_field_everywhere(v, field, value)
+            if updates:
+                return dataclasses.replace(node, **updates)
+        return node
+
     if bool(_get(model_cfg, "use_grad_checkpoint",
                  _get(model_cfg, "use_remat", False))):
         # reference model yamls carry use_grad_checkpoint; map it onto
         # the towers' use_remat knob
-        def turn_on(node):
-            if dataclasses.is_dataclass(node):
-                updates = {}
-                for f in dataclasses.fields(node):
-                    v = getattr(node, f.name)
-                    if f.name == "use_remat":
-                        updates[f.name] = True
-                    elif dataclasses.is_dataclass(v):
-                        updates[f.name] = turn_on(v)
-                if updates:
-                    return dataclasses.replace(node, **updates)
-            return node
-
-        cfg = turn_on(cfg)
+        cfg = set_field_everywhere(cfg, "use_remat", True)
+    if bool(_get(model_cfg, "kv_cache_int8", False)):
+        cfg = set_field_everywhere(cfg, "kv_cache_int8", True)
     return arch, apply_dtype_policy(cfg, amp)
 
 
