@@ -1,0 +1,128 @@
+"""Serving throughput table (run on the real chip; results → BENCH_NOTES).
+
+Measures decode tokens/s on a base-scale T5 (d_model 768, 12+12 layers —
+big enough that per-step matmuls dominate dispatch, small enough to
+compile fast over the tunnel) for:
+
+  greedy                 plain KV-cached greedy decode
+  spec γ=2 / γ=4         self-speculative (masked drafts, dense verifies)
+  greedy+int8kv          int8 decode cache
+
+Timing: scalar-fenced (block_until_ready is a no-op over the axon
+tunnel), warm (one untimed run first), solo.  Acceptance stats printed
+alongside — on a random-init model drafts ≈ teacher, so speculative
+numbers here are an UPPER bound; real pruned models accept less.
+
+    python scripts/bench_serving.py [--xl]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x):
+    return float(jnp.sum(jnp.asarray(x).ravel()[:8].astype(jnp.float32)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--xl", action="store_true",
+                    help="FlanT5-XL geometry (slow first compile)")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--max_length", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    from vlm_compression_tpu.models.generation import (
+        GenerationConfig, t5_generate, t5_speculative_generate)
+    from vlm_compression_tpu.models.t5 import (
+        T5Config, T5ForConditionalGeneration)
+
+    if args.xl:
+        base = dict()  # stock T5Config = XL
+    else:
+        base = dict(d_model=768, d_kv=64, d_ff=2048, num_layers=12,
+                    num_decoder_layers=12, num_heads=12, vocab_size=32128)
+
+    print("backend:", jax.default_backend(), flush=True)
+    t0 = time.perf_counter()
+    _sync(jnp.ones((256, 256)) @ jnp.ones((256, 256)))
+    print(f"first-op drain: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    rng = np.random.default_rng(0)
+    b, L = args.batch, args.max_length
+    ids = jnp.asarray(rng.integers(0, 32000, (b, 24)))
+    amask = jnp.ones((b, 24), jnp.int32)
+    gcfg = GenerationConfig(max_length=L, eos_token_id=-2,  # never stop:
+                            pad_token_id=0)                 # fixed work
+
+    def timed(label, fn):
+        out = fn()
+        _sync(out)                       # warm (compile + cache load)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn()
+        _sync(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        toks = b * (L - 1)
+        print(f"{label:24s} {dt*1e3:9.1f} ms  {toks/dt:9.1f} tok/s",
+              flush=True)
+        return dt
+
+    def build(kv_int8=False):
+        cfg = T5Config(**base, kv_cache_int8=kv_int8)
+        model = T5ForConditionalGeneration(cfg)
+        params = model.init(jax.random.PRNGKey(0), ids, amask,
+                            jnp.zeros((b, 4), jnp.int32))
+        return model, params
+
+    model, params = build()
+    t_greedy = timed("greedy", lambda: t5_generate(
+        model, params, ids, amask, cfg=gcfg, mode="dense"))
+
+    for gamma in (2, 4):
+        _, _, stats = t5_speculative_generate(
+            model, params, ids, amask, cfg=gcfg, gamma=gamma)
+        acc = float(stats["committed"]) / max(1, float(stats["rounds"]))
+        t = timed(f"spec γ={gamma}", lambda g=gamma: t5_speculative_generate(
+            model, params, ids, amask, cfg=gcfg, gamma=g)[0])
+        print(f"    accepted/round={acc:.2f}  speedup vs greedy: "
+              f"{t_greedy/t:.2f}x", flush=True)
+
+    model8, params8 = build(kv_int8=True)
+    timed("greedy + int8 KV", lambda: t5_generate(
+        model8, params8, ids, amask, cfg=gcfg, mode="dense"))
+
+    # the wall-clock pairing: int8-quantized student drafts (w8a8
+    # steps), bf16 teacher verifies — output identical to greedy
+    from vlm_compression_tpu.ops.quant import (quantize_params_tree,
+                                               use_dynamic_int8)
+    qparams = dict(params)
+    qparams["params"] = quantize_params_tree(params["params"])
+    use_dynamic_int8(True)
+    try:
+        for gamma in (2, 4):
+            t = timed(f"spec γ={gamma} int8-draft",
+                      lambda g=gamma: t5_speculative_generate(
+                          model, params, ids, amask, cfg=gcfg, gamma=g,
+                          draft_variables=qparams)[0])
+            print(f"    speedup vs greedy: {t_greedy/t:.2f}x", flush=True)
+    finally:
+        use_dynamic_int8(False)
+
+
+if __name__ == "__main__":
+    main()

