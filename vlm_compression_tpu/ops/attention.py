@@ -49,6 +49,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9  # matches the towers' additive-mask constant
 
+# per-row scalars (lse, delta) move through pallas_call as (b, h, n, 8)
+# arrays — broadcast copies along a size-8 lane dim — because Mosaic
+# rejects blocks whose last two dims are not (divisible by 8, divisible
+# by 128 or equal to the array dim); a (1, 1, bq) block on a (b, h, n)
+# array fails that check on real TPUs (the interpreter does not check)
+LSE_LANES = 8
+
 
 # ---------------------------------------------------------------------------
 # Naive reference (always correct; CPU path, decode path, backward).
@@ -146,8 +153,12 @@ def _flash_kernel(*refs, scale: float, causal: bool, nbias: int,
         # fully-masked rows (all-NEG_INF, l→uniform) match the reference:
         # NEG_INF keeps m finite, so l ≥ bk·exp(0) > 0 — no 0/0
         o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
-        # log-sum-exp per row, saved for the Pallas backward
-        lse_ref[0, 0] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
+        # log-sum-exp per row, saved for the Pallas backward; stored with
+        # a size-LSE_LANES trailing dim (broadcast copies) because Mosaic
+        # requires the last two block dims to be (8k, =array) — a bare
+        # (1, 1, bq) block fails to lower on real TPUs
+        lse_ref[0, 0] = jnp.broadcast_to(
+            m_ref[:, :1] + jnp.log(l_ref[:, :1]), lse_ref.shape[2:])
 
 
 def _round_up(x: int, m: int) -> int:
@@ -222,11 +233,12 @@ def _flash_attention_pallas(q, k, v, biases, scale, causal,
         out_specs=(
             pl.BlockSpec((1, 1, bq, d_pad),
                          lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, qi)),
+            pl.BlockSpec((1, 1, bq, LSE_LANES),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, n_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b, h, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n_pad, LSE_LANES), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, d_pad), jnp.float32),
@@ -240,10 +252,11 @@ def _flash_attention_pallas(q, k, v, biases, scale, causal,
         interpret=interpret,
     )(qp, kp, vp, *biases)
     out = jnp.transpose(out[:, :, :n, :d], (0, 2, 1, 3))
-    # lse sliced to real n: padded-row values are irrelevant in the
-    # backward (zero-padded g annihilates their contributions), and a
-    # real-length lse lets the SPMD sharding rule share the n factor
-    return (out, lse[:, :, :n]) if return_lse else out
+    # lse sliced to real n (lane 0 of the broadcast copies): padded-row
+    # values are irrelevant in the backward (zero-padded g annihilates
+    # their contributions), and a real-length lse lets the SPMD sharding
+    # rule share the n factor
+    return (out, lse[:, :, :n, 0]) if return_lse else out
 
 
 # ---------------------------------------------------------------------------
@@ -277,11 +290,11 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         s = _mask_tile(s, q_i, kv_i, bq, bk, causal, causal_off, kv_len)
-        p = jnp.exp(s - lse_ref[0, 0].reshape(bq, 1))
+        p = jnp.exp(s - lse_ref[0, 0][:, :1])
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (bq, bk)
-        ds = p * (dp - delta_ref[0, 0].reshape(bq, 1)) * scale
+        ds = p * (dp - delta_ref[0, 0][:, :1]) * scale
         acc_ref[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -312,14 +325,14 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         s = _mask_tile(s, q_i, kv_i, bq, bk, causal, causal_off, kv_len)
-        p = jnp.exp(s - lse_ref[0, 0].reshape(bq, 1))    # (bq, bk)
+        p = jnp.exp(s - lse_ref[0, 0][:, :1])            # (bq, bk)
         dv_acc[:] += jax.lax.dot_general(
             p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (bk, d)
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, 0].reshape(bq, 1)) * scale
+        ds = p * (dp - delta_ref[0, 0][:, :1]) * scale
         dk_acc[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (bk, d)
@@ -341,12 +354,16 @@ def _flash_backward_pallas(q, k, v, out, lse, g, scale, causal,
     kp = _to_bhnd(k, m_pad, d_pad)
     vp = _to_bhnd(v, m_pad, d_pad)
     gp = _to_bhnd(g, n_pad, d_pad)
-    lse = jnp.pad(lse, ((0, 0), (0, 0), (0, n_pad - lse.shape[2])))
+    def row4(x):
+        # (b, h, n) per-row scalars → (b, h, n_pad, LSE_LANES) broadcast
+        # copies (Mosaic's block-shape rule; see LSE_LANES)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - x.shape[2])))
+        return jnp.broadcast_to(x[..., None], x.shape + (LSE_LANES,))
+
+    lse = row4(lse)
     # delta = rowsum(g ⊙ out): O(b·h·n·d) elementwise, fused by XLA
-    delta = jnp.pad(
-        jnp.einsum("bnhd,bnhd->bhn", g.astype(jnp.float32),
-                   out.astype(jnp.float32)),
-        ((0, 0), (0, 0), (0, n_pad - n)))
+    delta = row4(jnp.einsum("bnhd,bnhd->bhn", g.astype(jnp.float32),
+                            out.astype(jnp.float32)))
 
     kw = dict(scale=float(scale), causal=causal, bq=bq, bk=bk,
               causal_off=m - n, kv_len=(m if m_pad > m else None))
@@ -354,7 +371,8 @@ def _flash_backward_pallas(q, k, v, out, lse, g, scale, causal,
                          lambda bi, hi, qi, ki: (bi, hi, qi, 0))
     kspec = pl.BlockSpec((1, 1, bk, d_pad),
                          lambda bi, hi, qi, ki: (bi, hi, ki, 0))
-    rspec = pl.BlockSpec((1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, qi))
+    rspec = pl.BlockSpec((1, 1, bq, LSE_LANES),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0))
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, **kw),
         grid=(b, h, n_pad // bq, m_pad // bk),
@@ -373,7 +391,8 @@ def _flash_backward_pallas(q, k, v, out, lse, g, scale, causal,
                           lambda bi, hi, ki, qi: (bi, hi, qi, 0))
     kspec2 = pl.BlockSpec((1, 1, bk, d_pad),
                           lambda bi, hi, ki, qi: (bi, hi, ki, 0))
-    rspec2 = pl.BlockSpec((1, 1, bq), lambda bi, hi, ki, qi: (bi, hi, qi))
+    rspec2 = pl.BlockSpec((1, 1, bq, LSE_LANES),
+                          lambda bi, hi, ki, qi: (bi, hi, qi, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, **kw),
         grid=(b, h, m_pad // bk, n_pad // bq),
