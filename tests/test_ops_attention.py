@@ -306,3 +306,145 @@ def test_causal_more_queries_than_keys_no_nan():
     want = mha_reference(q, k, v, (), scale=0.125, causal=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
+
+
+def _grad_check(b, n, m, h, d, causal, biases, scale, atol=5e-4):
+    """Pallas backward (dq/dkv/dbias kernels) vs the reference VJP,
+    including the bias cotangents."""
+    rng = np.random.default_rng(99)
+    q, k, v = (_rand(rng, b, nn, h, d) * 0.3 for nn in (n, m, m))
+
+    def loss(fn):
+        def f(q_, k_, v_, bs):
+            return jnp.sum(fn(q_, k_, v_, list(bs), scale=scale,
+                              causal=causal) ** 2)
+        return f
+
+    gf = jax.grad(loss(attention_core), argnums=(0, 1, 2, 3))(
+        q, k, v, tuple(biases))
+    use_flash_attention("auto")
+    try:
+        gr = jax.grad(loss(mha_reference), argnums=(0, 1, 2, 3))(
+            q, k, v, tuple(biases))
+    finally:
+        use_flash_attention(True)
+    for a, b_ in zip(gf[:3] + tuple(gf[3]), gr[:3] + tuple(gr[3])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=atol, rtol=1e-3)
+
+
+def test_pallas_backward_t5_bias_pattern():
+    """T5: trainable rel-pos (1,h,n,m) + padding mask (b,1,1,m).  The
+    dbias kernel reduces over batch for the rel-pos and over (h, n) for
+    the mask — both must match the reference VJP's bias cotangents."""
+    rng = np.random.default_rng(20)
+    b, n, m, h, d = 2, 200, 200, 4, 64
+    relpos = _rand(rng, 1, h, n, m) * 0.5
+    pad = jnp.where(jnp.asarray(rng.random((b, 1, 1, m))) < 0.2,
+                    NEG_INF, 0.0).astype(jnp.float32)
+    _grad_check(b, n, m, h, d, False, [relpos, pad], 1.0)
+
+
+def test_pallas_backward_decoder_mask_pattern():
+    """Decoder-only towers: one combined (b,1,n,m) additive mask."""
+    rng = np.random.default_rng(21)
+    b, n, m, h, d = 2, 200, 200, 4, 64
+    full = jnp.where(jnp.asarray(rng.random((b, 1, n, m))) < 0.15,
+                     NEG_INF, 0.0).astype(jnp.float32)
+    _grad_check(b, n, m, h, d, False, [full], d ** -0.5)
+
+
+def test_pallas_backward_cross_attention_pad():
+    """Q-Former cross-attention: (b,1,1,m) pad bias, n != m."""
+    rng = np.random.default_rng(22)
+    pad = jnp.where(jnp.asarray(rng.random((2, 1, 1, 197))) < 0.2,
+                    NEG_INF, 0.0).astype(jnp.float32)
+    _grad_check(2, 32, 197, 4, 64, False, [pad], 64 ** -0.5)
+
+
+def test_pallas_backward_causal_full_bias():
+    """Full (b,h,n,m) real-valued bias under causal masking — every
+    dbias grid dim kept (no reduction; blocks visited once)."""
+    rng = np.random.default_rng(23)
+    b, n, m, h, d = 2, 140, 140, 2, 64
+    bias = _rand(rng, b, h, n, m) * 0.3
+    _grad_check(b, n, m, h, d, True, [bias], d ** -0.5)
+
+
+def test_flash_attention_sharded_biased_dbias():
+    """Sharded T5 pattern: batch on "data", heads on "model"; the
+    rel-pos bias replicates over batch, so its cotangent needs a psum
+    across the data axis inside the custom_partitioning lower_fn —
+    this pins that reduction against the unsharded reference."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh (tests/conftest.py)")
+    mesh = Mesh(np.array(devs).reshape(4, 2), ("data", "model"))
+    rng = np.random.default_rng(24)
+    b, n, h, d = 4, 256, 2, 64
+    q, k, v = (jnp.asarray(rng.standard_normal((b, n, h, d)),
+                           jnp.float32) * 0.3 for _ in range(3))
+    relpos = jnp.asarray(rng.standard_normal((1, h, n, n)),
+                         jnp.float32) * 0.5
+    pad = jnp.where(jnp.asarray(rng.random((b, 1, 1, n))) < 0.2,
+                    NEG_INF, 0.0).astype(jnp.float32)
+    xsh = NamedSharding(mesh, P("data", None, "model", None))
+    qs, ks, vs = (jax.device_put(x, xsh) for x in (q, k, v))
+    rs = jax.device_put(relpos, NamedSharding(
+        mesh, P(None, "model", None, None)))
+    ps = jax.device_put(pad, NamedSharding(
+        mesh, P("data", None, None, None)))
+
+    @jax.jit
+    def loss(q_, k_, v_, r_, p_):
+        return jnp.sum(attention_core(q_, k_, v_, [r_, p_],
+                                      scale=1.0) ** 2)
+
+    gf = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(qs, ks, vs, rs, ps)
+    use_flash_attention("auto")
+    try:
+        gr = jax.grad(lambda *a: jnp.sum(mha_reference(
+            a[0], a[1], a[2], [a[3], a[4]], 1.0) ** 2),
+            argnums=(0, 1, 2, 3, 4))(q, k, v, relpos, pad)
+    finally:
+        use_flash_attention(True)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_t5_tower_grads_through_pallas_backward():
+    """End-to-end: tiny T5 loss grads (incl. the rel-pos bias EMBEDDING
+    parameter, reached through the dbias kernel) identical between
+    forced-kernel and reference paths."""
+    from vlm_compression_tpu.models.t5 import (T5Config,
+                                               T5ForConditionalGeneration)
+
+    cfg = T5Config(d_model=64, d_ff=128, num_layers=2,
+                   num_decoder_layers=2, num_heads=2, vocab_size=128,
+                   dtype=jnp.float32, param_dtype=jnp.float32)
+    model = T5ForConditionalGeneration(cfg)
+    rng = np.random.default_rng(25)
+    ids = jnp.asarray(rng.integers(2, 128, (2, 200)))
+    amask = jnp.asarray(rng.random((2, 200)) < 0.9, jnp.int32)
+    labels = jnp.asarray(rng.integers(2, 128, (2, 150)))
+    variables = model.init(jax.random.PRNGKey(0), ids, amask,
+                           labels=labels, mode="dense")
+
+    def loss(p):
+        out = model.apply(p, ids, amask, labels=labels, mode="dense")
+        return out["loss"]
+
+    use_flash_attention(False)
+    gr = jax.grad(loss)(variables)
+    use_flash_attention(True)
+    gf = jax.grad(loss)(variables)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(gr))
+    for path, a in flat_f:
+        b_ = flat_r[path]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-3, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(path))

@@ -24,11 +24,14 @@ Layout: q (b, n, h, d), k/v (b, m, h, d) — the layout every tower
 already has after the head reshape, so integration costs one transpose
 to (b, h, n, d) which XLA folds into the projection's output layout.
 
-Backward: recompute-based ``jax.custom_vjp`` — gradients are the exact
-VJP of the naive reference (one extra softmax recompute, the same trade
-``jax.checkpoint`` makes).  Sequences in this framework are ≤ ~1k, so
-the O(n·m) transient in the backward is cheap; the forward is where
-serving/prefill time goes.
+Backward: Pallas flash kernels (dq, dk/dv, and one dbias pass per
+additive bias) — each recomputes the score tile in VMEM from the saved
+log-sum-exp, so the (n, m) probability matrix never exists in HBM in
+either pass, for biased (T5's trainable rel-pos) and bias-free towers
+alike.  Gradients are the exact VJP of the naive reference up to dot
+rounding.  Non-trainable biases (padding masks ending in constants)
+cost nothing: each dbias is a standalone pallas_call that XLA DCEs
+when its cotangent is unused.
 
 Dispatch mirrors ops/masked_linear.py exactly: "auto" consults the
 per-shape "attn:" decisions tuned on-chip (ops/autotune.py) — a shape
@@ -165,15 +168,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _bias_spec(bias, bq, bk):
+def _bias_spec(bias, bq, bk, order=("b", "h", "q", "k")):
     """BlockSpec for a bias broadcastable to (b, h, n_pad, m_pad):
-    size-1 axes pin their block dim to 1 and index to 0."""
+    size-1 axes pin their block dim to 1 and index to 0.  ``order``
+    names the grid dims outermost-first (backward kernels permute)."""
     bb, bh, bn, bm = bias.shape
     blk = (1, 1, bq if bn > 1 else 1, bk if bm > 1 else 1)
+    pos = {d: i for i, d in enumerate(order)}
 
-    def idx(bi, hi, qi, ki):
-        return (bi if bb > 1 else 0, hi if bh > 1 else 0,
-                qi if bn > 1 else 0, ki if bm > 1 else 0)
+    def idx(*pids):
+        return (pids[pos["b"]] if bb > 1 else 0,
+                pids[pos["h"]] if bh > 1 else 0,
+                pids[pos["q"]] if bn > 1 else 0,
+                pids[pos["k"]] if bm > 1 else 0)
 
     return pl.BlockSpec(blk, idx)
 
@@ -260,19 +267,37 @@ def _flash_attention_pallas(q, k, v, biases, scale, causal,
 
 
 # ---------------------------------------------------------------------------
-# Pallas backward kernels (bias-free cases): standard flash backward —
+# Pallas backward kernels: standard flash backward —
 #   p  = exp(s − lse);  delta = rowsum(g ⊙ out)
 #   dv = pᵀ·g;  ds = p ⊙ (g·vᵀ − delta);  dq = ds·k·scale;  dk = dsᵀ·q·scale
+#   dbias_i = ds summed over the axes bias_i broadcasts (∂s/∂bias = 1)
 # Each recomputes the score tile in VMEM (one extra q·kᵀ per tile — the
 # rematerialization trade), so the (n, m) probability matrix never exists
-# in HBM in either pass.  Biased attention (T5's trainable rel-pos) keeps
-# the recompute-reference backward, whose bias gradients are exact.
+# in HBM in either pass.  Biases enter the recompute (s must match the
+# forward bit-for-bit) and each bias gets its own dbias pallas_call —
+# standalone, so XLA's DCE deletes it when the cotangent is unused (the
+# towers' padding masks terminate in constants; only T5's trainable
+# rel-pos bias actually pays for its gradient pass).
 # ---------------------------------------------------------------------------
 
 
-def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                     dq_ref, acc_ref, *, scale, causal, bq, bk,
-                     causal_off, kv_len):
+def _recompute_tile(q, k, bias_tiles, lse_row, q_i, kv_i, *, scale,
+                    causal, bq, bk, causal_off, kv_len):
+    """Score tile → p (softmax numerators over the saved lse)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    for b in bias_tiles:
+        s = s + b.astype(jnp.float32)
+    s = _mask_tile(s, q_i, kv_i, bq, bk, causal, causal_off, kv_len)
+    return jnp.exp(s - lse_row)
+
+
+def _flash_dq_kernel(*refs, scale, causal, nbias, bq, bk, causal_off,
+                     kv_len):
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref = refs[:6]
+    bias_refs = refs[6:6 + nbias]
+    dq_ref, acc_ref = refs[6 + nbias:]
     kv_i = pl.program_id(3)
     q_i = pl.program_id(2)
 
@@ -286,11 +311,10 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     @pl.when(run)
     def _():
         q, k, v, g = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], g_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = _mask_tile(s, q_i, kv_i, bq, bk, causal, causal_off, kv_len)
-        p = jnp.exp(s - lse_ref[0, 0][:, :1])
+        p = _recompute_tile(q, k, [b[0, 0] for b in bias_refs],
+                            lse_ref[0, 0][:, :1], q_i, kv_i, scale=scale,
+                            causal=causal, bq=bq, bk=bk,
+                            causal_off=causal_off, kv_len=kv_len)
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (bq, bk)
@@ -304,9 +328,11 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dq_ref[0, 0] = acc_ref[:].astype(dq_ref.dtype)
 
 
-def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                      dk_ref, dv_ref, dk_acc, dv_acc, *, scale, causal,
-                      bq, bk, causal_off, kv_len):
+def _flash_dkv_kernel(*refs, scale, causal, nbias, bq, bk, causal_off,
+                      kv_len):
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref = refs[:6]
+    bias_refs = refs[6:6 + nbias]
+    dk_ref, dv_ref, dk_acc, dv_acc = refs[6 + nbias:]
     q_i = pl.program_id(3)                  # sequential: q blocks
     kv_i = pl.program_id(2)
 
@@ -321,11 +347,10 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     @pl.when(run)
     def _():
         q, k, v, g = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], g_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = _mask_tile(s, q_i, kv_i, bq, bk, causal, causal_off, kv_len)
-        p = jnp.exp(s - lse_ref[0, 0][:, :1])            # (bq, bk)
+        p = _recompute_tile(q, k, [b[0, 0] for b in bias_refs],
+                            lse_ref[0, 0][:, :1], q_i, kv_i, scale=scale,
+                            causal=causal, bq=bq, bk=bk,
+                            causal_off=causal_off, kv_len=kv_len)
         dv_acc[:] += jax.lax.dot_general(
             p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (bk, d)
@@ -343,17 +368,106 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_backward_pallas(q, k, v, out, lse, g, scale, causal,
+def _flash_dbias_kernel(*refs, scale, causal, nbias, bq, bk, causal_off,
+                        kv_len, order, n_kept, keep_q):
+    """dbias for ONE bias: ds summed over this bias's broadcast axes.
+
+    ``order`` names the 4 grid dims outermost-first (a permutation of
+    ("b", "h", "q", "k")): the first ``n_kept`` are the bias's real
+    (size > 1) dims, the rest are its broadcast dims — innermost, so the
+    VMEM accumulator sees all contributions to one output block
+    consecutively (Pallas's output-revisit rule).  ``keep_q``: whether
+    the bias has a real query dim; if not, ds rows are summed in-tile
+    and the output block is a single row."""
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref = refs[:6]
+    bias_refs = refs[6:6 + nbias]
+    db_ref, acc_ref = refs[6 + nbias:]
+    pos = {d: i for i, d in enumerate(order)}
+    q_i = pl.program_id(pos["q"])
+    kv_i = pl.program_id(pos["k"])
+    red = list(range(n_kept, 4))
+
+    def conj(fn):
+        c = None
+        for p_ in red:
+            e = fn(p_)
+            c = e if c is None else c & e
+        return c
+
+    # no reduced grid dims → each output block is visited exactly once
+    first = conj(lambda p_: pl.program_id(p_) == 0) if red else None
+    last = conj(lambda p_: pl.program_id(p_)
+                == pl.num_programs(p_) - 1) if red else None
+
+    def init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if red:
+        pl.when(first)(init)
+    else:
+        init()
+
+    run = (kv_i * bk <= q_i * bq + (bq - 1) + causal_off) if causal \
+        else True
+
+    @pl.when(run)
+    def _():
+        q, k, v, g = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], g_ref[0, 0]
+        p = _recompute_tile(q, k, [b[0, 0] for b in bias_refs],
+                            lse_ref[0, 0][:, :1], q_i, kv_i, scale=scale,
+                            causal=causal, bq=bq, bk=bk,
+                            causal_off=causal_off, kv_len=kv_len)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0, 0][:, :1])       # no scale: ∂s/∂b = 1
+        if keep_q:
+            acc_ref[:] += ds
+        else:
+            acc_ref[0:1] += jnp.sum(ds, axis=0, keepdims=True)
+
+    def write():
+        db_ref[0, 0] = (acc_ref[:] if keep_q
+                        else acc_ref[0:1]).astype(db_ref.dtype)
+
+    if red:
+        pl.when(last)(write)
+    else:
+        write()
+
+
+def _ordspec(kind, bq, bk, d_pad, order):
+    """BlockSpec for a q/k-shaped or row-scalar operand under a grid whose
+    dims are named by ``order`` (a permutation of ("b","h","q","k"))."""
+    pos = {d: i for i, d in enumerate(order)}
+    if kind == "q":
+        blk, want = (1, 1, bq, d_pad), ("b", "h", "q")
+    elif kind == "k":
+        blk, want = (1, 1, bk, d_pad), ("b", "h", "k")
+    else:  # per-row scalar (lse/delta)
+        blk, want = (1, 1, bq, LSE_LANES), ("b", "h", "q")
+
+    def idx(*pids):
+        return tuple(pids[pos[w]] for w in want) + (0,)
+
+    return pl.BlockSpec(blk, idx)
+
+
+def _flash_backward_pallas(q, k, v, out, lse, g, biases, scale, causal,
                            block_q: int = 256, block_k: int = 256,
                            interpret: bool = False):
-    """dq, dk, dv in the caller's (b, n, h, d) layout; ``lse`` is the
-    (b, h, n) log-sum-exp from the forward kernel (re-padded here)."""
+    """(dq, dk, dv, [dbias...]) in the caller's layouts; ``lse`` is the
+    (b, h, n) log-sum-exp from the forward kernel (re-padded here).
+    Every bias must have a real key dim (shape[3] > 1) — the caller
+    falls back to the reference VJP otherwise."""
     b, n, h, d, m, bq, bk, n_pad, m_pad, d_pad = _geom(q, k, block_q,
                                                        block_k)
     qp = _to_bhnd(q, n_pad, d_pad)
     kp = _to_bhnd(k, m_pad, d_pad)
     vp = _to_bhnd(v, m_pad, d_pad)
     gp = _to_bhnd(g, n_pad, d_pad)
+    biases_p = _pad_biases(biases, n_pad, m_pad)
+
     def row4(x):
         # (b, h, n) per-row scalars → (b, h, n_pad, LSE_LANES) broadcast
         # copies (Mosaic's block-shape rule; see LSE_LANES)
@@ -364,39 +478,42 @@ def _flash_backward_pallas(q, k, v, out, lse, g, scale, causal,
     # delta = rowsum(g ⊙ out): O(b·h·n·d) elementwise, fused by XLA
     delta = row4(jnp.einsum("bnhd,bnhd->bhn", g.astype(jnp.float32),
                             out.astype(jnp.float32)))
+    args = (qp, kp, vp, gp, lse, delta) + tuple(biases_p)
 
-    kw = dict(scale=float(scale), causal=causal, bq=bq, bk=bk,
-              causal_off=m - n, kv_len=(m if m_pad > m else None))
-    qspec = pl.BlockSpec((1, 1, bq, d_pad),
-                         lambda bi, hi, qi, ki: (bi, hi, qi, 0))
-    kspec = pl.BlockSpec((1, 1, bk, d_pad),
-                         lambda bi, hi, qi, ki: (bi, hi, ki, 0))
-    rspec = pl.BlockSpec((1, 1, bq, LSE_LANES),
-                         lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    kw = dict(scale=float(scale), causal=causal, nbias=len(biases_p),
+              bq=bq, bk=bk, causal_off=m - n,
+              kv_len=(m if m_pad > m else None))
+    sizes = {"b": b, "h": h, "q": n_pad // bq, "k": m_pad // bk}
+
+    def inspecs(order):
+        return ([_ordspec("q", bq, bk, d_pad, order),
+                 _ordspec("k", bq, bk, d_pad, order),
+                 _ordspec("k", bq, bk, d_pad, order),
+                 _ordspec("q", bq, bk, d_pad, order),
+                 _ordspec("r", bq, bk, d_pad, order),
+                 _ordspec("r", bq, bk, d_pad, order)]
+                + [_bias_spec(x, bq, bk, order) for x in biases_p])
+
+    order1 = ("b", "h", "q", "k")           # kv innermost-sequential
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, **kw),
-        grid=(b, h, n_pad // bq, m_pad // bk),
-        in_specs=[qspec, kspec, kspec, qspec, rspec, rspec],
-        out_specs=qspec,
+        grid=tuple(sizes[d] for d in order1),
+        in_specs=inspecs(order1),
+        out_specs=_ordspec("q", bq, bk, d_pad, order1),
         out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d_pad), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, d_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interpret,
-    )(qp, kp, vp, gp, lse, delta)
+    )(*args)
 
-    # dkv grid: kv blocks parallel, q blocks sequential (innermost)
-    qspec2 = pl.BlockSpec((1, 1, bq, d_pad),
-                          lambda bi, hi, ki, qi: (bi, hi, qi, 0))
-    kspec2 = pl.BlockSpec((1, 1, bk, d_pad),
-                          lambda bi, hi, ki, qi: (bi, hi, ki, 0))
-    rspec2 = pl.BlockSpec((1, 1, bq, LSE_LANES),
-                          lambda bi, hi, ki, qi: (bi, hi, qi, 0))
+    order2 = ("b", "h", "k", "q")           # q blocks innermost-sequential
+    kspec2 = _ordspec("k", bq, bk, d_pad, order2)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, **kw),
-        grid=(b, h, m_pad // bk, n_pad // bq),
-        in_specs=[qspec2, kspec2, kspec2, qspec2, rspec2, rspec2],
+        grid=tuple(sizes[d] for d in order2),
+        in_specs=inspecs(order2),
         out_specs=(kspec2, kspec2),
         out_shape=(jax.ShapeDtypeStruct((b, h, m_pad, d_pad), k.dtype),
                    jax.ShapeDtypeStruct((b, h, m_pad, d_pad), v.dtype)),
@@ -406,12 +523,49 @@ def _flash_backward_pallas(q, k, v, out, lse, g, scale, causal,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interpret,
-    )(qp, kp, vp, gp, lse, delta)
+    )(*args)
+
+    # one standalone dbias pallas_call per bias: kept dims lead the grid,
+    # broadcast dims iterate innermost into a VMEM accumulator.  Unused
+    # cotangents (padding masks ending in constants) are DCE'd whole.
+    dbiases = []
+    for i, bias in enumerate(biases_p):
+        bb, bh, bn = bias.shape[0] > 1, bias.shape[1] > 1, bias.shape[2] > 1
+        kept = [dd for dd, yes in (("b", bb), ("h", bh), ("q", bn))
+                if yes] + ["k"]
+        red = [dd for dd, yes in (("b", bb), ("h", bh), ("q", bn))
+               if not yes]
+        order = tuple(kept + red)
+        pos = {dd: j for j, dd in enumerate(order)}
+        out_blk = (1, 1, bq if bn else 1, bk)
+
+        def oidx(*pids, bb=bb, bh=bh, bn=bn, pos=pos):
+            return (pids[pos["b"]] if bb else 0,
+                    pids[pos["h"]] if bh else 0,
+                    pids[pos["q"]] if bn else 0,
+                    pids[pos["k"]])
+
+        db = pl.pallas_call(
+            functools.partial(_flash_dbias_kernel, **kw, order=order,
+                              n_kept=len(kept), keep_q=bn),
+            grid=tuple(sizes[dd] for dd in order),
+            in_specs=inspecs(order),
+            out_specs=pl.BlockSpec(out_blk, oidx),
+            out_shape=jax.ShapeDtypeStruct(bias.shape, jnp.float32),
+            scratch_shapes=[pltpu.VMEM((bq if bn else 8, bk),
+                                       jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=tuple(
+                    ["parallel"] * len(kept) + ["arbitrary"] * len(red))),
+            interpret=interpret,
+        )(*args)
+        ob = biases[i].shape
+        dbiases.append(db[:, :, :ob[2], :ob[3]].astype(biases[i].dtype))
 
     def back(x, length):
         return jnp.transpose(x[:, :, :length, :d], (0, 2, 1, 3))
 
-    return back(dq, n), back(dk, m), back(dv, m)
+    return back(dq, n), back(dk, m), back(dv, m), dbiases
 
 
 # ---------------------------------------------------------------------------
@@ -488,21 +642,43 @@ def _partitioned_fwd(scale, causal, blocks, interpret, bias_patterns):
     return fwd
 
 
+def _flat_axes(*entries):
+    """Flatten PartitionSpec entries (str | tuple | None) into a tuple of
+    mesh axis names."""
+    out = []
+    for e in entries:
+        if e is None:
+            continue
+        if isinstance(e, (tuple, list)):
+            out.extend(e)
+        else:
+            out.append(e)
+    return tuple(out)
+
+
 @functools.lru_cache(maxsize=None)
-def _partitioned_bwd(scale, causal, blocks, interpret):
+def _partitioned_bwd(scale, causal, blocks, interpret, bias_patterns):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    def run(q, k, v, out, lse, g, *biases):
+        dq, dk, dv, dbs = _flash_backward_pallas(
+            q, k, v, out, lse, g, list(biases), scale, causal,
+            block_q=blocks[0], block_k=blocks[1], interpret=interpret)
+        return (dq, dk, dv, *dbs)
+
     @custom_partitioning
-    def bwd(q, k, v, out, lse, g):
-        return _flash_backward_pallas(q, k, v, out, lse, g, scale, causal,
-                                      block_q=blocks[0], block_k=blocks[1],
-                                      interpret=interpret)
+    def bwd(q, k, v, out, lse, g, *biases):
+        return run(q, k, v, out, lse, g, *biases)
 
     def _shardings(mesh, b, h):
         x = NamedSharding(mesh, P(b, None, h, None))
         r = NamedSharding(mesh, P(b, h, None))
-        return (x, x, x, x, r, x), (x, x, x)
+        bias_sh = tuple(
+            NamedSharding(mesh, P(b if bb else None, h if bh else None,
+                                  None, None))
+            for bb, bh, _ in bias_patterns)
+        return (x, x, x, x, r, x) + bias_sh, (x, x, x) + bias_sh
 
     def infer(mesh, arg_shapes, result_shape):
         b, h = _bh_of(arg_shapes)
@@ -512,17 +688,30 @@ def _partitioned_bwd(scale, causal, blocks, interpret):
         b, h = _bh_of(arg_shapes)
         arg_sh, res_sh = _shardings(mesh, b, h)
 
-        def lower_fn(q, k, v, out, lse, g):
-            return _flash_backward_pallas(
-                q, k, v, out, lse, g, scale, causal,
-                block_q=blocks[0], block_k=blocks[1], interpret=interpret)
+        def lower_fn(q, k, v, out, lse, g, *biases):
+            outs = run(q, k, v, out, lse, g, *biases)
+            dq, dk, dv = outs[:3]
+            # a dbias reduces over every axis its bias broadcasts; when
+            # that axis is sharded the per-shard partial sums need a psum
+            # (each shard's kernel saw only its local batch/head slice)
+            dbs = []
+            for db, (bb, bh, _) in zip(outs[3:], bias_patterns):
+                axes = _flat_axes(None if bb else b, None if bh else h)
+                dbs.append(jax.lax.psum(db, axes) if axes else db)
+            return (dq, dk, dv, *dbs)
 
         return mesh, lower_fn, res_sh, arg_sh
 
+    in_rule = ", ".join(["b n h d", "b m h d", "b m h d", "b n h d",
+                         "b h n", "b n h d"]
+                        + [_bias_rule(i, p) for i, p in
+                           enumerate(bias_patterns)])
+    out_rule = ", ".join(["b n h d", "b m h d", "b m h d"]
+                         + [_bias_rule(i, p) for i, p in
+                            enumerate(bias_patterns)])
     bwd.def_partition(
         partition=partition, infer_sharding_from_operands=infer,
-        sharding_rule="b n h d, b m h d, b m h d, b n h d, b h n, "
-                      "b n h d -> b n h d, b m h d, b m h d")
+        sharding_rule=f"{in_rule} -> {out_rule}")
     return bwd
 
 
@@ -532,9 +721,10 @@ def _bias_patterns(biases):
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp wrapper: flash forward; backward = Pallas flash kernels when
-# bias-free (ViT and the causal zoo — O(n) memory end to end), else the
-# recompute-reference VJP (exact gradients incl. T5's trainable bias).
+# custom_vjp wrapper: flash forward; backward = Pallas flash kernels —
+# O(n) memory end to end, including dbias for additive biases (T5's
+# trainable rel-pos).  Only a per-query bias (key dim 1 — no tower
+# produces one) falls back to the recompute-reference VJP.
 # ---------------------------------------------------------------------------
 
 
@@ -554,10 +744,12 @@ def _flash_fwd(q, k, v, biases, scale, causal, interpret, blocks):
 
 def _flash_bwd(scale, causal, interpret, blocks, res, g):
     q, k, v, biases, out, lse = res
-    if not biases:
-        dq, dk, dv = _partitioned_bwd(scale, causal, blocks, interpret)(
-            q, k, v, out, lse, g)
-        return dq, dk, dv, []
+    if all(x.shape[3] > 1 for x in biases):
+        outs = _partitioned_bwd(scale, causal, blocks, interpret,
+                                _bias_patterns(biases))(
+            q, k, v, out, lse, g, *biases)
+        return outs[0], outs[1], outs[2], list(outs[3:])
+    # per-query bias (key dim 1): exact recompute-reference VJP
     _, vjp = jax.vjp(
         lambda q_, k_, v_, bs: mha_reference(q_, k_, v_, bs, scale, causal),
         q, k, v, tuple(biases))

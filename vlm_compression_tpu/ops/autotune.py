@@ -87,6 +87,19 @@ DEFAULT_DECISIONS: Dict[str, dict] = {
     "lora:4096,6144,1408,bfloat16": {
         "backend": "xla", "tiles": [1024, 128, 1024],
         "pallas_us": 1305.1, "xla_us": 1010.4},
+    # flash attention (v5e, scalar-fenced; see BENCH_NOTES "attention
+    # autotune").  ViT-g's 257-token class stays on XLA (padding 257→384
+    # burns a third of the tile work); the 512-token T5/Vicuna prefill
+    # classes win ~1.5× with the online-softmax kernel.
+    "attn:16,16,257,257,88,bfloat16,f": {
+        "backend": "xla", "tiles": [128, 256],
+        "pallas_us": 4096.1, "xla_us": 3493.2},
+    "attn:8,32,512,512,64,bfloat16,f": {
+        "backend": "pallas", "tiles": [512, 256],
+        "pallas_us": 3986.0, "xla_us": 6022.1},
+    "attn:4,32,512,512,128,bfloat16,f": {
+        "backend": "pallas", "tiles": [128, 512],
+        "pallas_us": 3000.9, "xla_us": 4707.5},
 }
 
 _CACHE: Optional[Dict[str, dict]] = None   # merged view (defaults + tuned)
