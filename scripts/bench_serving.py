@@ -96,7 +96,8 @@ def main():
     for gamma in (2, 4):
         _, _, stats = t5_speculative_generate(
             model, params, ids, amask, cfg=gcfg, gamma=gamma)
-        acc = float(stats["committed"]) / max(1, float(stats["rounds"]))
+        acc = float(stats["committed"]) / max(
+            1.0, float(stats["rounds"]) * args.batch)
         t = timed(f"spec γ={gamma}", lambda g=gamma: t5_speculative_generate(
             model, params, ids, amask, cfg=gcfg, gamma=g)[0])
         print(f"    accepted/round={acc:.2f}  speedup vs greedy: "
@@ -120,6 +121,24 @@ def main():
                           model, params, ids, amask, cfg=gcfg, gamma=g,
                           draft_variables=qparams)[0])
             print(f"    speedup vs greedy: {t_greedy/t:.2f}x", flush=True)
+
+        # per-row frontiers (kv_cache_per_row): each row commits its own
+        # accepted prefix instead of the batch minimum — pays off exactly
+        # when rows disagree with the draft, which int8 drafts cause
+        model_pr = T5ForConditionalGeneration(
+            T5Config(**base, kv_cache_per_row=True))
+        for gamma in (4,):
+            _, _, stats = t5_speculative_generate(
+                model_pr, params, ids, amask, cfg=gcfg, gamma=gamma,
+                draft_variables=qparams)
+            acc = float(stats["committed"]) / max(
+                1.0, float(stats["rounds"]) * args.batch)
+            t = timed(f"spec γ={gamma} int8 per-row",
+                      lambda g=gamma: t5_speculative_generate(
+                          model_pr, params, ids, amask, cfg=gcfg, gamma=g,
+                          draft_variables=qparams)[0])
+            print(f"    accepted/round={acc:.2f}  speedup vs greedy: "
+                  f"{t_greedy/t:.2f}x", flush=True)
     finally:
         use_dynamic_int8(False)
 

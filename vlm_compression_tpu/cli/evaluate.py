@@ -95,6 +95,10 @@ def parse_args(argv=None):
     p.add_argument("--kv_cache_int8", action="store_true",
                    help="store decode KV caches as int8 codes + absmax "
                         "scales (half the persistent decode memory)")
+    p.add_argument("--kv_cache_per_row", action="store_true",
+                   help="per-row decode cache frontiers: speculative "
+                        "decoding commits each row's own accepted "
+                        "prefix instead of the batch minimum")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--model_size", default=None)
     p.add_argument("--seed", type=int, default=42)
@@ -169,6 +173,8 @@ def main(argv=None):
         model_cfg["model_type"] = args.model_size
     if args.kv_cache_int8:
         model_cfg["kv_cache_int8"] = True
+    if args.kv_cache_per_row:
+        model_cfg["kv_cache_per_row"] = True
     if args.speculative_gamma:
         cfg.run_cfg["speculative_gamma"] = args.speculative_gamma
 

@@ -119,7 +119,8 @@ def generate_opt(model: Blip2OPT, variables, image, prompt_input_ids,
     start = prompt_input_ids[:, -1].astype(jnp.int32)
 
     if speculative_gamma > 0:
-        max_len = gen_cfg.max_length + speculative_gamma + 1
+        max_len = gen_cfg.max_length + speculative_gamma * (
+            2 if cfg.opt.kv_cache_per_row else 1) + 1
 
         def chunk_start(step):
             def f(tokens, c):

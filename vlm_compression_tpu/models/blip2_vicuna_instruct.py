@@ -175,7 +175,8 @@ def generate_vicuna(model: Blip2VicunaInstruct, variables, image,
         # draft (draft_llm_mode) proposes, target (llm_mode) verifies in
         # chunks; both prime their own cache under their own mode.  The
         # cache holds the primed prefix, so rollback offsets by its width.
-        max_len = gen_cfg.max_length + speculative_gamma + 1
+        max_len = gen_cfg.max_length + speculative_gamma * (
+            2 if cfg.llm.kv_cache_per_row else 1) + 1
 
         def chunk_start(step):
             def f(tokens, c):

@@ -101,6 +101,10 @@ def build_model_config(model_cfg) -> Tuple[str, object]:
         cfg = set_field_everywhere(cfg, "use_remat", True)
     if bool(_get(model_cfg, "kv_cache_int8", False)):
         cfg = set_field_everywhere(cfg, "kv_cache_int8", True)
+    if bool(_get(model_cfg, "kv_cache_per_row", False)):
+        # per-row decode frontiers: each batch row commits its own
+        # accepted prefix under speculative decoding (models/kvcache.py)
+        cfg = set_field_everywhere(cfg, "kv_cache_per_row", True)
     return arch, apply_dtype_policy(cfg, amp)
 
 

@@ -320,19 +320,26 @@ def t5_generate(model, variables, input_ids=None, attention_mask=None,
 
 
 def _rollback_cache_index(cache, idx):
-    """Set every flax decode-cache ``cache_index`` (the only 0-d integer
-    leaves) to ``idx``.  Stale cached_key/value slots beyond the index are
-    overwritten before any query can see them: slots fill sequentially
-    from the index and the per-query causal visibility only admits slots
-    ≤ the query position."""
+    """Set every flax decode-cache ``cache_index`` (the only integer
+    leaves — 0-d, or (b,) for per-row caches) to ``idx``.  Stale
+    cached_key/value slots beyond the index are overwritten before any
+    query can see them: slots fill sequentially from the index and the
+    per-query causal visibility only admits slots ≤ the query position."""
 
     def fix(x):
-        if getattr(x, "ndim", None) == 0 and \
+        if getattr(x, "ndim", None) in (0, 1) and \
                 jnp.issubdtype(x.dtype, jnp.integer):
-            return jnp.asarray(idx, x.dtype)
+            return jnp.broadcast_to(jnp.asarray(idx, x.dtype), x.shape)
         return x
 
     return jax.tree_util.tree_map(fix, cache)
+
+
+def _cache_index_ndim(cache):
+    """0 for batch-shared caches, 1 for per-row caches."""
+    ndims = {x.ndim for x in jax.tree_util.tree_leaves(cache)
+             if jnp.issubdtype(x.dtype, jnp.integer) and x.ndim <= 1}
+    return max(ndims) if ndims else 0
 
 
 def speculative_generate(draft_step, draft_cache, target_step, target_cache,
@@ -361,27 +368,47 @@ def speculative_generate(draft_step, draft_cache, target_step, target_cache,
     (``mode="dense"``), which already share one variables dict in the
     RESSA setup (tasks/retrain.py).
 
+    Exactness caveat: "exact" means exact given deterministic logits.
+    The chunked verify is a DIFFERENT compiled program than the
+    single-token greedy step, so on TPU (default-precision matmuls,
+    accumulation-order differences ~1e-2 in the logits) an argmax whose
+    top-2 gap sits below that noise can flip — observed only on
+    random-init tiny towers, where near-uniform logits make ties
+    common; trained models' top-1 margins dwarf it.  CPU runs are
+    bit-deterministic across both programs.
+
     Both caches must be allocated with ``max_decode_len ≥ max_length +
-    gamma`` (the last verify chunk may run past ``max_length``; the
-    surplus is sliced off).  Batched rows advance together by the
-    minimum accepted length across the batch (the flax cache_index is
-    batch-shared), so the speedup is largest at small batch — the
-    serving regime speculative decoding targets.  Commits are capped at
-    ``gamma`` per round (the classic γ+1 bonus token is skipped: the
-    draft cache never ingested its own final proposal, and committing
-    past it would leave a KV hole).
+    gamma + 1`` (``max_length + 2·gamma + 1`` for per-row caches; the
+    last verify chunk may run past ``max_length`` — the surplus is
+    sliced off).  With batch-shared caches (0-d ``cache_index``) rows
+    advance together by the MINIMUM accepted length across the batch;
+    **per-row caches** ((b,)-shaped ``cache_index``, cfg
+    ``kv_cache_per_row`` on the towers — detected here automatically)
+    let every row commit its own accepted prefix, recovering the full
+    acceptance rate at batch > 1.  Commits are capped at ``gamma`` per
+    round (the classic γ+1 bonus token is skipped: the draft cache never
+    ingested its own final proposal, and committing past it would leave
+    a KV hole).
 
     ``cache_offset``: number of cache slots already primed (the causal
     towers prime the prompt prefix; T5's decoder cache starts empty).
 
     Returns (sequences (b, max_length), lengths, stats) where stats =
-    {"rounds": verify calls, "committed": total committed tokens} —
-    mean accepted per round = committed / rounds.
+    {"rounds": verify calls, "committed": total committed tokens summed
+    over rows} — mean accepted per round per row =
+    committed / (rounds · b).
     """
     if gamma < 1:
         raise ValueError("gamma must be >= 1")
+    per_row = _cache_index_ndim(draft_cache) == 1
+    if per_row != (_cache_index_ndim(target_cache) == 1):
+        raise ValueError("draft and target caches must agree on per-row")
     L, G = cfg.max_length, gamma
-    Lg = L + G + 1
+    # per-row: a row stalls at most at cur = L−1+G (it only advances
+    # while cur < L), and the draft still writes G scratch tokens past
+    # it while slower rows catch up
+    Lg = L + (2 * G if per_row else G) + 1
+    b_idx = jnp.arange(batch_size)
     seqs = jnp.full((batch_size, Lg), cfg.pad_token_id, jnp.int32)
     seqs = seqs.at[:, 0].set(cfg.decoder_start_token_id)
     finished = jnp.zeros((batch_size,), bool)
@@ -395,14 +422,17 @@ def speculative_generate(draft_step, draft_cache, target_step, target_cache,
                                                  jnp.int32),
                            draft_cache)[0].shape[-1]
 
+    # ``cur`` is (b,) throughout; batch-shared mode keeps all rows equal
+    # (the commit length is min-reduced), so cur[0] indexes shared caches
+
     def cond(state):
         cur, _, finished = state[0], state[1], state[2]
-        return (cur < L) & ~jnp.all(finished)
+        return jnp.any((cur < L) & ~finished)
 
     def body(state):
         (cur, seqs, finished, dcache, tcache, n_committed, rounds,
          rng) = state
-        last = jax.lax.dynamic_slice(seqs, (0, cur - 1), (batch_size, 1))
+        last = jnp.take_along_axis(seqs, (cur - 1)[:, None], axis=1)
 
         # ---- draft phase: gamma single steps, same logits processors as
         # the autoregressive path (in greedy mode the draft's choices only
@@ -416,7 +446,8 @@ def speculative_generate(draft_step, draft_cache, target_step, target_cache,
             logits, dcache = draft_step(tok, dcache)
             logits = logits[:, -1, :].astype(jnp.float32)
             logits = apply_repetition_penalty(
-                logits, seqs_h, jnp.arange(Lg)[None, :] < cur + t,
+                logits, seqs_h,
+                jnp.arange(Lg)[None, :] < (cur + t)[:, None],
                 cfg.repetition_penalty)
             logits = mask_min_length(logits, cur + t, cfg.min_length,
                                      cfg.eos_token_id)
@@ -430,8 +461,7 @@ def speculative_generate(draft_step, draft_cache, target_step, target_cache,
             else:
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             d = jax.lax.dynamic_update_slice(d, nxt[:, None], (0, t))
-            seqs_h = jax.lax.dynamic_update_slice(
-                seqs_h, nxt[:, None], (0, cur + t))
+            seqs_h = seqs_h.at[b_idx, cur + t].set(nxt)
             return d, qd, dcache, seqs_h, rng
 
         d0 = jnp.zeros((batch_size, G), jnp.int32)
@@ -445,14 +475,15 @@ def speculative_generate(draft_step, draft_cache, target_step, target_cache,
         tlogits, tcache = target_step(chunk, tcache)
         tlogits = tlogits.astype(jnp.float32)               # (b, G+1, V)
         valid = (jnp.arange(Lg)[None, None, :]
-                 < (cur + jarange)[None, :, None])          # (1, G+1, Lg)
+                 < (cur[:, None] + jarange[None, :])
+                 [..., None])                               # (b, G+1, Lg)
         tlogits = apply_repetition_penalty(
             tlogits,
             jnp.broadcast_to(seqs_h[:, None, :], (batch_size, G + 1, Lg)),
-            jnp.broadcast_to(valid, (batch_size, G + 1, Lg)),
-            cfg.repetition_penalty)
+            valid, cfg.repetition_penalty)
         tlogits = tlogits.at[..., cfg.eos_token_id].add(
-            jnp.where(cur + jarange < cfg.min_length, NEG_INF, 0.0)[None])
+            jnp.where(cur[:, None] + jarange[None, :] < cfg.min_length,
+                      NEG_INF, 0.0))
 
         if cfg.do_sample:
             # rejection sampling (Leviathan et al.): accept x ~ q with
@@ -478,40 +509,47 @@ def speculative_generate(draft_step, draft_cache, target_step, target_cache,
             t = jnp.concatenate(
                 [mixed, jnp.full((batch_size, 1), cfg.pad_token_id,
                                  jnp.int32)], axis=1)       # (b, G+1)
-            k = jnp.where(finished, G, k)
-            cap = jnp.where(k < G, k + 1, G)
-            n = jnp.min(cap)                                # 1..G
         else:
             t = jnp.argmax(tlogits, axis=-1).astype(jnp.int32)  # (b, G+1)
-            # longest matching prefix; batch advances by the minimum
+            # longest agreeing prefix per row
             match = (t[:, :G] == d).astype(jnp.int32)
             k = jnp.sum(jnp.cumprod(match, axis=1), axis=1)     # (b,)
-            k = jnp.where(finished, G, k)
-            n = jnp.minimum(jnp.min(k) + 1, G)                  # 1..G
 
-        # commit the first n tokens (pad once a row finished)
+        # per-row commit length: k accepted + 1 target token, capped at
+        # G; rows already finished (or past L in per-row mode) commit 0
+        done = finished | (per_row & (cur >= L))
+        n = jnp.where(done, 0, jnp.minimum(k + 1, G))           # (b,)
+        if not per_row:
+            # batch-shared cache: advance by the minimum across live rows
+            n = jnp.broadcast_to(
+                jnp.min(jnp.where(done, G, n)), (batch_size,))
+
+        # commit the first n_b tokens of each row (pad once finished)
         eos_hit = t == cfg.eos_token_id
         fin_before = finished[:, None] | (
             jnp.cumsum(eos_hit, axis=1) - eos_hit > 0)
         committed = jnp.where(fin_before, cfg.pad_token_id, t)
-        cur_slice = jax.lax.dynamic_slice(
-            seqs, (0, cur), (batch_size, G + 1))
-        new_slice = jnp.where(jarange[None, :] < n, committed, cur_slice)
-        seqs = jax.lax.dynamic_update_slice(seqs, new_slice, (0, cur))
+        pos = cur[:, None] + jarange[None, :]                # (b, G+1)
+        take = jarange[None, :] < n[:, None]
+        upd = jnp.where(take, committed,
+                        jnp.take_along_axis(seqs, pos, axis=1))
+        seqs = seqs.at[b_idx[:, None], pos].set(upd)
         finished = finished | jnp.any(
-            (jarange[None, :] < n) & (committed == cfg.eos_token_id),
-            axis=1)
+            take & (committed == cfg.eos_token_id), axis=1)
 
         # roll both caches back to the committed frontier
         # (cache_offset = slots already holding a primed prompt prefix,
         # e.g. make_causal_step's p — rewinding into it would be fatal)
-        dcache = _rollback_cache_index(dcache, cache_offset + cur + n - 1)
-        tcache = _rollback_cache_index(tcache, cache_offset + cur + n - 1)
+        frontier = cache_offset + cur + n - 1
+        idx = frontier if per_row else frontier[0]
+        dcache = _rollback_cache_index(dcache, idx)
+        tcache = _rollback_cache_index(tcache, idx)
         return (cur + n, seqs, finished, dcache, tcache,
-                n_committed + n, rounds + 1, rng)
+                n_committed + jnp.sum(n), rounds + 1, rng)
 
-    state = (jnp.asarray(1), seqs, finished, draft_cache, target_cache,
-             jnp.asarray(0), jnp.asarray(0), rng)
+    state = (jnp.ones((batch_size,), jnp.int32), seqs, finished,
+             draft_cache, target_cache, jnp.asarray(0), jnp.asarray(0),
+             rng)
     _, seqs, _, _, _, n_committed, rounds, _ = jax.lax.while_loop(
         cond, body, state)
     seqs = seqs[:, :L]
@@ -547,7 +585,8 @@ def t5_speculative_generate(model, variables, input_ids=None,
     # the draft decodes against the TARGET encoding (one encoder pass —
     # same as the blip2 wrapper): the draft only sets the accept rate,
     # never the committed output, so output exactness is unaffected
-    max_len = cfg.max_length + gamma + 1
+    max_len = cfg.max_length + gamma * (
+        2 if model.cfg.kv_cache_per_row else 1) + 1
     dstep, dcache = make_t5_step(model, draft_variables or variables,
                                  enc_out, attention_mask, draft_mode,
                                  max_len)

@@ -44,6 +44,7 @@ class LlamaConfig:
     # int8 decode KV cache: codes + per-(batch,slot,head) absmax
     # scales — halves persistent decode memory vs bf16 (kvcache.py)
     kv_cache_int8: bool = False
+    kv_cache_per_row: bool = False
     use_remat: bool = False   # jax.checkpoint per block (training path)
 
     @property
@@ -132,7 +133,8 @@ class LlamaAttention(nn.Module):
 
         if decode:
             k, v, cur, is_init = cache_kv(self, k, v,
-                                          int8=cfg.kv_cache_int8)
+                                          int8=cfg.kv_cache_int8,
+                                          per_row=cfg.kv_cache_per_row)
             if is_init:
                 mask = step_visibility_mask(cur, n, k.shape[1], mask)
 

@@ -42,6 +42,7 @@ class OPTConfig:
     # int8 decode KV cache: codes + per-(batch,slot,head) absmax
     # scales — halves persistent decode memory vs bf16 (kvcache.py)
     kv_cache_int8: bool = False
+    kv_cache_per_row: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -89,7 +90,8 @@ class OPTAttention(nn.Module):
 
         if decode:
             k, v, cur, is_init = cache_kv(self, k, v,
-                                          int8=cfg.kv_cache_int8)
+                                          int8=cfg.kv_cache_int8,
+                                          per_row=cfg.kv_cache_per_row)
             if is_init:
                 mask = step_visibility_mask(cur, n, k.shape[1], mask)
 

@@ -50,6 +50,7 @@ class T5Config:
     # int8 decode KV cache: codes + per-(batch,slot,head) absmax
     # scales — halves persistent decode memory vs bf16 (kvcache.py)
     kv_cache_int8: bool = False
+    kv_cache_per_row: bool = False
     # rematerialize each block's activations in the backward pass —
     # trades FLOPs for memory so dense-teacher + student + grads fit XL
     # towers on one chip (SURVEY §7 hard part 5); training path only
@@ -175,14 +176,23 @@ class T5Attention(nn.Module):
         # Replaces HF's past_key_values threading (modeling_t5.py:491-653).
         if decode and kv is None:
             k, v, cur, is_init = cache_kv(self, k, v,
-                                          int8=cfg.kv_cache_int8)
+                                          int8=cfg.kv_cache_int8,
+                                          per_row=cfg.kv_cache_per_row)
             if is_init:
                 max_len = k.shape[1]
                 mask = step_visibility_mask(cur, n, max_len, mask)
                 if position_bias is not None:
-                    position_bias = jax.lax.dynamic_slice(
-                        position_bias, (0, 0, cur, 0),
-                        (1, cfg.num_heads, n, max_len))
+                    if cfg.kv_cache_per_row:
+                        # each row decodes at its own frontier → its own
+                        # bias rows: (b, h, n, max_len)
+                        position_bias = jax.vmap(
+                            lambda c: jax.lax.dynamic_slice(
+                                position_bias[0], (0, c, 0),
+                                (cfg.num_heads, n, max_len)))(cur)
+                    else:
+                        position_bias = jax.lax.dynamic_slice(
+                            position_bias, (0, 0, cur, 0),
+                            (1, cfg.num_heads, n, max_len))
 
         # no 1/sqrt(d): T5 folds it into init
         out = attention_core(q, k, v, [position_bias, mask],
