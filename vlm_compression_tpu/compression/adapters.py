@@ -99,8 +99,8 @@ def _jitted_block_apply(module, side_keys=()):
 
 def make_vit_adapter(cfg: EvaViTConfig,
                      stem_fn: Callable,
-                     subtree: Tuple[str, ...] = ("visual_encoder",)
-                     ) -> TowerAdapter:
+                     subtree: Tuple[str, ...] = ("visual_encoder",),
+                     stem_key=None) -> TowerAdapter:
     """stem_fn(variables, batch) -> (x0, {}) — the ViT embed output."""
     jf = _jitted_block_apply(EvaBlock(cfg))
 
@@ -111,13 +111,13 @@ def make_vit_adapter(cfg: EvaViTConfig,
     return TowerAdapter(
         name="vit", subtree=subtree,
         block_names=[f"blocks_{i}" for i in range(cfg.depth)],
-        block_fn=block_fn, stem_fn=stem_fn)
+        block_fn=block_fn, stem_fn=stem_fn, stem_key=stem_key)
 
 
 def make_t5_encoder_adapter(cfg: T5Config,
                             embeds_fn: Callable,
-                            subtree: Tuple[str, ...] = ("encoder",)
-                            ) -> TowerAdapter:
+                            subtree: Tuple[str, ...] = ("encoder",),
+                            stem_key=None) -> TowerAdapter:
     """embeds_fn(variables, batch) -> (inputs_embeds, attention_mask|None).
 
     The adapter computes the relative-position bias from the stack's own
@@ -150,13 +150,13 @@ def make_t5_encoder_adapter(cfg: T5Config,
     return TowerAdapter(
         name="t5_encoder", subtree=subtree,
         block_names=[f"blocks_{i}" for i in range(cfg.num_layers)],
-        block_fn=block_fn, stem_fn=stem_fn)
+        block_fn=block_fn, stem_fn=stem_fn, stem_key=stem_key)
 
 
 def make_t5_decoder_adapter(cfg: T5Config,
                             decoder_inputs_fn: Callable,
-                            subtree: Tuple[str, ...] = ("decoder",)
-                            ) -> TowerAdapter:
+                            subtree: Tuple[str, ...] = ("decoder",),
+                            stem_key=None) -> TowerAdapter:
     """decoder_inputs_fn(variables, batch) ->
     (dec_embeds, dec_mask|None, enc_out, enc_mask|None).
 
@@ -191,12 +191,12 @@ def make_t5_decoder_adapter(cfg: T5Config,
     return TowerAdapter(
         name="t5_decoder", subtree=subtree,
         block_names=[f"blocks_{i}" for i in range(cfg.num_decoder_layers)],
-        block_fn=block_fn, stem_fn=stem_fn)
+        block_fn=block_fn, stem_fn=stem_fn, stem_key=stem_key)
 
 
 def make_llama_adapter(cfg, inputs_fn: Callable,
-                       subtree: Tuple[str, ...] = ("llm_model",)
-                       ) -> TowerAdapter:
+                       subtree: Tuple[str, ...] = ("llm_model",),
+                       stem_key=None) -> TowerAdapter:
     """Decoder-only (LLaMA/Vicuna) layer sweep — the reference's
     ``{prefix}.model.layers`` traversal (wanda_pruner.py:1032-1039).
 
@@ -235,7 +235,7 @@ def make_llama_adapter(cfg, inputs_fn: Callable,
     return TowerAdapter(
         name="llama", subtree=subtree,
         block_names=[f"blocks_{i}" for i in range(cfg.num_layers)],
-        block_fn=block_fn, stem_fn=stem_fn)
+        block_fn=block_fn, stem_fn=stem_fn, stem_key=stem_key)
 
 
 def make_qformer_adapter(cfg: QFormerConfig,

@@ -86,6 +86,12 @@ class TowerAdapter:
     stem_fn(variables, batch) -> (x0, side)
       side: extra inputs every block needs (attention biases, encoder
       outputs, token validity mask under key "token_mask").
+    stem_key: optional process-wide identity of the stem COMPUTATION
+      (module structure + dataflow-mode flags).  When set, the engine
+      reuses one jitted stem per key across prune calls — a fresh
+      jax.jit object re-traces and re-uploads its executable even with a
+      warm disk cache (see adapters._BLOCK_JIT_CACHE), and the stems
+      otherwise compile INSIDE the timed sweep on a cold process.
     """
 
     name: str
@@ -94,6 +100,24 @@ class TowerAdapter:
     stem_fn: Callable
     # where the blocks live inside the tower's variables
     subtree: Tuple[str, ...] = ()
+    stem_key: Optional[tuple] = None
+
+
+# One jitted stem per stem_key (see TowerAdapter.stem_key).  The cached jit
+# wraps the FIRST stem_fn seen for a key; callers guarantee equal keys ⇒
+# identical computation (keys carry module type, frozen config, and every
+# mode flag the closure branches on).
+_STEM_JIT_CACHE: dict = {}
+
+
+def _stem_jit(adapter: TowerAdapter):
+    if adapter.stem_key is None:
+        return jax.jit(lambda v, b: adapter.stem_fn(v, b))
+    f = _STEM_JIT_CACHE.get(adapter.stem_key)
+    if f is None:
+        f = jax.jit(adapter.stem_fn)
+        _STEM_JIT_CACHE[adapter.stem_key] = f
+    return f
 
 
 def _collect_captured(aux) -> Dict[Tuple[str, ...], jnp.ndarray]:
@@ -325,7 +349,7 @@ def calibrate_and_prune_tower(
     del params, masks
 
     # 1. stem over all batches
-    stem = jax.jit(lambda v, b: adapter.stem_fn(v, b))
+    stem = _stem_jit(adapter)
     xs, sides = [], []
     for b in batches:
         x0, side = stem(variables, b)

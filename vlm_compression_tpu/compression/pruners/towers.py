@@ -163,7 +163,9 @@ class T5PrunerBase(_MethodMixin, LayerWisePrunerBase):
                              method=T5ForConditionalGeneration.embed_tokens)
             return e, batch.get("attention_mask")
 
-        enc_ad = A.make_t5_encoder_adapter(cfg, embeds_fn, ("encoder",))
+        enc_ad = A.make_t5_encoder_adapter(
+            cfg, embeds_fn, ("encoder",),
+            stem_key=("t5_solo_enc", type(module).__name__, cfg))
         variables = self._prune_tower(enc_ad, variables, batches, sfor,
                                       lora_model, tower="llm")
 
@@ -182,7 +184,9 @@ class T5PrunerBase(_MethodMixin, LayerWisePrunerBase):
                 method=T5ForConditionalGeneration.embed_tokens)
             return dec_embeds, dec_mask, enc_out, mask
 
-        dec_ad = A.make_t5_decoder_adapter(cfg, dec_inputs_fn, ("decoder",))
+        dec_ad = A.make_t5_decoder_adapter(
+            cfg, dec_inputs_fn, ("decoder",),
+            stem_key=("t5_solo_dec", type(module).__name__, cfg, upstream))
         variables = self._prune_tower(dec_ad, variables, batches, sfor,
                                       lora_model, tower="llm")
 
@@ -214,7 +218,9 @@ class ViTPrunerBase(_MethodMixin, LayerWisePrunerBase):
 
         variables = self.model.variables
         self.model = None  # free the original tree during the sweep
-        ad = A.make_vit_adapter(cfg, stem_fn, subtree=())
+        ad = A.make_vit_adapter(
+            cfg, stem_fn, subtree=(),
+            stem_key=("vit_solo", type(module).__name__, cfg))
         variables = self._prune_tower(ad, variables, batches,
                                       sfor, lora_model, tower="vit")
         self.model = FlaxModel(module, variables)
@@ -346,7 +352,9 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
                     variables, batch["image"],
                     method=lambda m, img: m.visual_encoder.embed(img)), {}
 
-            ad = A.make_vit_adapter(vit_cfg, vit_stem, ("visual_encoder",))
+            ad = A.make_vit_adapter(
+                vit_cfg, vit_stem, ("visual_encoder",),
+                stem_key=("blip_vit", type(module).__name__, module.cfg))
             res = self._prune_tower(ad, variables, batches, vit_sfor,
                                     lora_model, tower="vit",
                                     return_outputs=chain)
@@ -385,7 +393,9 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
                             m, b, vit_mode_for_llm))
 
             enc_ad = A.make_t5_encoder_adapter(
-                lm_cfg, enc_embeds_fn, ("t5_model", "encoder"))
+                lm_cfg, enc_embeds_fn, ("t5_model", "encoder"),
+                stem_key=("blip_enc", type(module).__name__, module.cfg,
+                          chain, vit_mode_for_llm))
             res = self._prune_tower(enc_ad, variables, enc_batches, sfor,
                                     lora_model, tower="llm",
                                     return_outputs=chain)
@@ -412,7 +422,9 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
                             m, b, vit_mode_for_llm, llm_upstream))
 
             dec_ad = A.make_t5_decoder_adapter(
-                lm_cfg, dec_inputs_fn, ("t5_model", "decoder"))
+                lm_cfg, dec_inputs_fn, ("t5_model", "decoder"),
+                stem_key=("blip_dec", type(module).__name__, module.cfg,
+                          chain, vit_mode_for_llm, llm_upstream))
             variables = self._prune_tower(dec_ad, variables, dec_batches,
                                           sfor, lora_model, tower="llm")
         elif prune_llm:
@@ -447,7 +459,10 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
                         method=lambda m, b: _blip_llm_inputs(
                             m, b, vit_mode_for_llm))
 
-            ad = A.make_llama_adapter(lm_cfg, llm_inputs_fn, ("llm_model",))
+            ad = A.make_llama_adapter(
+                lm_cfg, llm_inputs_fn, ("llm_model",),
+                stem_key=("blip_llm", type(module).__name__, module.cfg,
+                          chain, vit_mode_for_llm))
             variables = self._prune_tower(ad, variables, llm_batches, sfor,
                                           lora_model, tower="llm")
 
