@@ -44,10 +44,114 @@ def test_reorder_docstring_example():
     np.testing.assert_array_equal(gathered, want)
 
 
-def test_unstructured_equals_initial_mask():
-    """The reference's unstructured refinement loop cannot change the mask
-    (double-scatter cancels — see ops/dsnot.py docstring); the output must be
-    the initial wanda-metric mask with round() counting."""
+def torch_dsnot_unstructured(W_np, scaler_np, summ_np, var_np, ratio,
+                             max_cycle_time, update_threshold, pow_var=1.0,
+                             without_same_sign=True):
+    """Verbatim oracle for the unstructured branch (dsnot_pruner.py:553-751),
+    including the scatter quartet — which nets to an unconditional
+    prune-candidate-kept / regrow-candidate-pruned update each cycle."""
+    W = torch.from_numpy(W_np)
+    initial_metric = (torch.abs(W)
+                      * torch.sqrt(torch.from_numpy(scaler_np)).reshape(1, -1))
+    DSnoT_metric = W * torch.from_numpy(summ_np).reshape(1, -1)
+    var = torch.from_numpy(var_np)
+    rows, cols = W.shape
+    weight_mask = torch.zeros_like(initial_metric) == 1
+    _, sorted_idx = torch.sort(initial_metric, dim=-1, stable=True)
+    sparsity_num = round(cols * ratio)
+    res_num = cols - sparsity_num
+    initial_prune_indices, initial_res_indices = torch.split(
+        sorted_idx, [sparsity_num, res_num], dim=1)
+    weight_mask.scatter_(1, initial_prune_indices, True)
+
+    wanda_metric = initial_metric.clone()  # initial_method == "wanda"
+    wanda_metric.scatter_(1, initial_prune_indices, float("inf"))
+    wanda_res_indices, _ = torch.split(
+        torch.sort(wanda_metric, dim=1, stable=True)[1],
+        [res_num, sparsity_num], dim=1)
+    reorder = torch_return_reorder_indice(
+        torch.gather(DSnoT_metric, 1, wanda_res_indices).numpy())
+    pruning_block = torch.gather(wanda_res_indices, 1, torch.from_numpy(reorder))
+
+    metric_for_regrowing = DSnoT_metric.clone()
+    metric_for_regrowing.scatter_(1, initial_res_indices, 0)
+    recon = torch.sum(metric_for_regrowing, dim=1, keepdim=True)
+    init_sign = torch.sign(recon)
+    if pow_var:
+        metric_for_regrowing /= torch.pow(var.reshape(1, -1), pow_var)
+    _, regrow_block = torch.sort(metric_for_regrowing, dim=1, stable=True)
+
+    gptr = torch.zeros((rows, 2), dtype=torch.long)
+    gptr[:, 1] = cols - 1
+    pptr = torch.zeros((rows, 2), dtype=torch.long)
+    pptr[:, 1] = res_num - 1
+    step = torch.ones((rows, 2), dtype=torch.long)
+    step[:, 1] = -1
+
+    update_mask = torch.ones_like(recon, dtype=torch.bool)
+    cycle = 0
+    while not (torch.all(update_mask == False) or cycle >= max_cycle_time):  # noqa: E712
+        cycle += 1
+        g_side = (recon > 0).long()
+        gi = torch.gather(gptr, 1, g_side)
+        regrow_idx = torch.gather(regrow_block, 1, gi)
+        regrow_metric = DSnoT_metric.gather(1, regrow_idx)
+        gptr.scatter_(1, g_side, gi + step.gather(1, g_side))
+
+        p_side = (recon < 0).long()
+        pi = torch.gather(pptr, 1, p_side)
+        prune_idx = torch.gather(pruning_block, 1, pi)
+        prune_metric = DSnoT_metric.gather(1, prune_idx)
+        pptr.scatter_(1, p_side, pi + step.gather(1, p_side))
+
+        after = recon + prune_metric - regrow_metric
+        if without_same_sign:
+            update_mask = update_mask & (abs(recon) > update_threshold)
+        else:
+            update_mask = (update_mask & (abs(recon) > update_threshold)
+                           & (init_sign == torch.sign(after)))
+
+        weight_mask.scatter_(1, prune_idx, update_mask)
+        weight_mask.scatter_(1, regrow_idx, ~update_mask)
+        sub_p = torch.gather(weight_mask, 1, prune_idx)
+        sub_g = torch.gather(weight_mask, 1, regrow_idx)
+        prune_values = False * update_mask + sub_p * ~update_mask
+        regrow_values = True * update_mask + sub_g * ~update_mask
+        weight_mask.scatter_(1, prune_idx, prune_values)
+        weight_mask.scatter_(1, regrow_idx, regrow_values)
+
+        recon += torch.where(update_mask, prune_metric,
+                             torch.zeros_like(prune_metric))
+        recon -= torch.where(update_mask, regrow_metric,
+                             torch.zeros_like(regrow_metric))
+    return (~weight_mask).numpy()
+
+
+def test_unstructured_matches_oracle():
+    """The unstructured loop DOES change the mask (the regrow pointer can
+    walk into the zero-metric kept region); bit-equality vs the verbatim
+    torch oracle across sign regimes and the without_same_sign branch."""
+    for seed, wss in ((1, True), (6, True), (7, False)):
+        rng = np.random.default_rng(seed)
+        W = rng.standard_normal((8, 24)).astype(np.float32)
+        scaler = np.abs(rng.standard_normal(24)).astype(np.float32)
+        summ = rng.standard_normal(24).astype(np.float32)
+        var = np.abs(rng.standard_normal(24)).astype(np.float32) + 0.1
+
+        want = torch_dsnot_unstructured(
+            W, scaler, summ, var, 0.5, max_cycle_time=8,
+            update_threshold=0.01, without_same_sign=wss)
+        got = dsnot_refine_mask(
+            jnp.asarray(W), jnp.asarray(scaler), jnp.asarray(summ),
+            jnp.asarray(var), sparsity=0.5, max_cycle_time=8,
+            update_threshold=0.01, without_same_sign=wss)
+        np.testing.assert_array_equal(np.asarray(got.keep_mask), want,
+                                      err_msg=f"seed={seed} wss={wss}")
+
+
+def test_unstructured_without_dsnot_is_initial_mask():
+    """`without_DSnoT` skips refinement: the output is the initial
+    wanda-metric mask with round() counting (dsnot_pruner.py:577-578)."""
     rng = np.random.default_rng(1)
     W = rng.standard_normal((8, 24)).astype(np.float32)
     scaler = np.abs(rng.standard_normal(24)).astype(np.float32)
@@ -56,7 +160,7 @@ def test_unstructured_equals_initial_mask():
 
     got = dsnot_refine_mask(
         jnp.asarray(W), jnp.asarray(scaler), jnp.asarray(summ), jnp.asarray(var),
-        sparsity=0.5)
+        sparsity=0.5, without_dsnot=True)
     metric = np.abs(W) * np.sqrt(scaler)[None, :]
     want = np.asarray(unstructured_mask(jnp.asarray(metric), 0.5, rounding="round"))
     np.testing.assert_array_equal(np.asarray(got.keep_mask), want)
@@ -113,9 +217,10 @@ def torch_dsnot_nm(W_np, scaler_np, summ_np, var_np, n, m,
         blk_start = regrow_idx - regrow_idx % m
         blk_idx = torch.arange(0, m).repeat(blk_start.shape[1], 1) + blk_start
         blk = torch.gather(initial_metric, 1, blk_idx)
-        # first-occurrence argmin (torch.topk tie order is backend-defined)
-        p_idx = torch.from_numpy(
-            np.argmin(blk.numpy(), axis=1, keepdims=True))
+        # verbatim reference call — its tie index on a fully-consumed
+        # (all-inf) block is a torch-CPU quickselect artifact our kernel
+        # reproduces via _TORCH_TOPK_TIE_IDX
+        _, p_idx = torch.topk(blk, 1, dim=1, largest=False)
         p_idx += blk_start
         p_metric = DSnoT_metric.gather(1, p_idx)
         after = recon + p_metric - regrow_metric
