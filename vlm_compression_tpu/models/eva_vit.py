@@ -169,12 +169,40 @@ class EvaViT(nn.Module):
         return x
 
 
+def _bicubic_resize_axis(x, out_size: int, axis: int):
+    """Cubic-convolution resample along one axis, exactly matching torch's
+    `F.interpolate(mode="bicubic", align_corners=False)`: A = -0.75, source
+    index (i + 0.5)·scale − 0.5, border-replicated taps."""
+    import numpy as np
+
+    x = np.moveaxis(np.asarray(x, np.float64), axis, 0)
+    in_size = x.shape[0]
+    if in_size == out_size:
+        return np.moveaxis(x, 0, axis)
+    scale = in_size / out_size
+    src = (np.arange(out_size) + 0.5) * scale - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    t = src - i0
+    A = -0.75
+    cc1 = lambda u: (A + 2) * u ** 3 - (A + 3) * u ** 2 + 1          # noqa: E731
+    cc2 = lambda u: A * u ** 3 - 5 * A * u ** 2 + 8 * A * u - 4 * A  # noqa: E731
+    w = np.stack([cc2(1 + t), cc1(t), cc1(1 - t), cc2(2 - t)])       # (4, out)
+    out = np.zeros((out_size,) + x.shape[1:], np.float64)
+    for tap in range(4):
+        idx = np.clip(i0 + tap - 1, 0, in_size - 1)
+        out += w[tap].reshape((-1,) + (1,) * (x.ndim - 1)) * x[idx]
+    return np.moveaxis(out, 0, axis)
+
+
 def interpolate_pos_embed(pos_embed, num_patches: int):
     """Resize a (1, 1+old_patches, dim) position table to a new patch count
     (reference eva_vit.py:432-453: keep the cls slot, bicubic-resize the
     square patch grid).  Used when loading a tower checkpoint trained at a
-    different image size (reference train.py:377-400)."""
+    different image size (reference train.py:377-400).  Host-side numpy,
+    bit-matched to the reference's torch bicubic (fp32 output)."""
     import math
+
+    import numpy as np
 
     old = pos_embed.shape[1] - 1
     if old == num_patches:
@@ -185,8 +213,9 @@ def interpolate_pos_embed(pos_embed, num_patches: int):
     g1 = int(math.sqrt(num_patches))
     if g0 * g0 != old or g1 * g1 != num_patches:
         raise ValueError(f"non-square patch grids: {old} -> {num_patches}")
-    grid = grid.reshape(1, g0, g0, dim).astype(jnp.float32)
-    grid = jax.image.resize(grid, (1, g1, g1, dim), method="bicubic")
-    grid = grid.reshape(1, g1 * g1, dim)
+    grid = np.asarray(grid, np.float32).reshape(1, g0, g0, dim)
+    grid = _bicubic_resize_axis(grid, g1, axis=1)
+    grid = _bicubic_resize_axis(grid, g1, axis=2)
+    grid = jnp.asarray(grid.reshape(1, g1 * g1, dim), jnp.float32)
     return jnp.concatenate(
-        [cls_tok, grid.astype(pos_embed.dtype)], axis=1)
+        [jnp.asarray(cls_tok), grid.astype(pos_embed.dtype)], axis=1)
