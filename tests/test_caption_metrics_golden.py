@@ -157,6 +157,49 @@ def test_meteor_no_match_zero():
     assert meteor({1: "x y"}, {1: ["a b"]}) == 0.0
 
 
+def test_meteor_15en_identical_analytic():
+    # identical 4-token sentence under METEOR-1.5's English constants
+    # (alpha=.85, beta=.2, gamma=.6): F=1, chunks=1, m=4
+    cands = {1: "a dog runs fast"}
+    refs = {1: ["a dog runs fast"]}
+    expect = 1.0 - 0.6 * (1 / 4) ** 0.2
+    assert abs(meteor(cands, refs, params="1.5en") - expect) < 1e-9
+
+
+def test_meteor_parameter_family_spread():
+    """Quantified METEOR-1.5 deviation bound (VERDICT r2 task 6).
+
+    The Java jar cannot run offline, so the deviation of our METEOR from
+    a reference-produced evaluate.txt decomposes into (a) the scoring
+    parameter family — fully reproducible offline and pinned here — and
+    (b) the jar's synonym/paraphrase matcher stages + δ function-word
+    discount, which need WordNet/paraphrase tables.  On the 50-caption
+    golden corpus the family term is 0.3477 corpus-level (0.395 max
+    per-image): the 2005 constants are a DIFFERENT SCALE, which is why
+    coco_caption_eval reports the "1.5en" parameterization (same family
+    and scale as the jar; published COCO METEOR values ~0.25-0.30 live on
+    this scale)."""
+    cands, refs = _synth_corpus()
+    m05 = meteor(cands, refs, params="2005")
+    m15 = meteor(cands, refs, params="1.5en")
+    assert m05 == pytest.approx(0.8509, abs=1e-4)
+    assert m15 == pytest.approx(0.5031, abs=1e-4)
+    assert abs(m05 - m15) == pytest.approx(0.3477, abs=1e-3)
+
+
+def test_spice_column_is_explicit_null():
+    """The reference's COCOEvalCap computes SPICE (captioning.py:114,
+    139-147); we cannot (Java scene-graph pipeline).  The exclusion must
+    be VISIBLE in the evaluate.txt schema — an explicit null column, not
+    a silently missing key — and must never feed agg_metrics."""
+    cands, refs = _synth_corpus(n=5)
+    results = [{"image_id": k, "caption": v} for k, v in cands.items()]
+    m = coco_caption_eval(results, refs)
+    assert "SPICE" in m and m["SPICE"] is None
+    assert m["agg_metrics"] == pytest.approx(m["CIDEr"] + m["Bleu_4"],
+                                             abs=2e-4)
+
+
 # ---------------------------------------------------------------------------
 # independent implementation cross-check: nltk corpus_bleu
 # ---------------------------------------------------------------------------
@@ -235,7 +278,10 @@ PINNED_METRICS = {
     "Bleu_2": 0.8444,
     "Bleu_3": 0.8004,
     "Bleu_4": 0.7491,
-    "METEOR": 0.8509,
+    # 1.5en constants (round 3): the jar's scoring family; the 2005-family
+    # value for the same corpus is 0.8509 (see
+    # test_meteor_parameter_family_spread)
+    "METEOR": 0.5031,
     "ROUGE_L": 0.8878,
     "CIDEr": 5.7535,
 }
