@@ -87,19 +87,43 @@ DEFAULT_DECISIONS: Dict[str, dict] = {
     "lora:4096,6144,1408,bfloat16": {
         "backend": "xla", "tiles": [1024, 128, 1024],
         "pallas_us": 1305.1, "xla_us": 1010.4},
-    # flash attention (v5e, scalar-fenced; see BENCH_NOTES "attention
-    # autotune").  ViT-g's 257-token class stays on XLA (padding 257→384
-    # burns a third of the tile work); the 512-token T5/Vicuna prefill
-    # classes win ~1.5× with the online-softmax kernel.
+    # flash attention (v5e, scalar-fenced, solo; round-3 re-measure with
+    # fwd+bwd evidence for the classes RESSA retraining backprops through
+    # — see BENCH_NOTES "attention autotune").  Decoder-only prefill wins
+    # grow with sequence length (1.27× @1k → 1.56× @2k: the materialized
+    # probability tensor's HBM traffic is quadratic); train-gated classes
+    # flip to XLA when the Pallas backward loses even though the forward
+    # wins (ViT 257, T5 decoder self/cross at KD lengths).
     "attn:16,16,257,257,88,bfloat16,f": {
-        "backend": "xla", "tiles": [128, 256],
-        "pallas_us": 4096.1, "xla_us": 3493.2},
+        "backend": "xla", "tiles": [128, 384],
+        "pallas_us": 3398.2, "xla_us": 3592.0,
+        "pallas_train_us": 4929.0, "xla_train_us": 3952.1},
     "attn:8,32,512,512,64,bfloat16,f": {
-        "backend": "pallas", "tiles": [512, 256],
-        "pallas_us": 3986.0, "xla_us": 6022.1},
+        "backend": "pallas", "tiles": [256, 512],
+        "pallas_us": 3745.4, "xla_us": 3794.0,
+        "pallas_train_us": 6390.6, "xla_train_us": 7407.8},
     "attn:4,32,512,512,128,bfloat16,f": {
         "backend": "pallas", "tiles": [128, 512],
         "pallas_us": 3000.9, "xla_us": 4707.5},
+    "attn:2,32,1024,1024,128,bfloat16,f": {
+        "backend": "pallas", "tiles": [256, 512],
+        "pallas_us": 3757.4, "xla_us": 4779.4},
+    "attn:1,32,2048,2048,128,bfloat16,f": {
+        "backend": "pallas", "tiles": [256, 512],
+        "pallas_us": 4444.2, "xla_us": 6954.4},
+    # OPT-2.7B prefill measured a 0.5% "win" — inside the tunnel's ±15%
+    # variance band, so the doctrine keeps the reference
+    "attn:4,32,512,512,80,bfloat16,f": {
+        "backend": "xla", "tiles": [256, 512],
+        "pallas_us": 3259.1, "xla_us": 3275.1},
+    "attn:8,32,256,256,64,bfloat16,f": {
+        "backend": "xla", "tiles": [128, 256],
+        "pallas_us": 3317.6, "xla_us": 3194.7,
+        "pallas_train_us": 4529.4, "xla_train_us": 3278.6},
+    "attn:8,32,256,512,64,bfloat16,f": {
+        "backend": "xla", "tiles": [256, 512],
+        "pallas_us": 3274.5, "xla_us": 3487.8,
+        "pallas_train_us": 4030.2, "xla_train_us": 3744.9},
 }
 
 _CACHE: Optional[Dict[str, dict]] = None   # merged view (defaults + tuned)
@@ -475,6 +499,7 @@ def _attn_block_candidates(n: int, m: int):
 def tune_attention(b: int, h: int, n: int, m: int, d: int,
                    dtype: str = "bfloat16", causal: bool = False,
                    bias_pattern: str = "mask", iters: int = 10,
+                   train: bool = False, force: bool = False,
                    verbose: bool = False) -> dict:
     """Measure the XLA reference vs flash block candidates for one
     attention shape class; record and return the decision.
@@ -482,13 +507,21 @@ def tune_attention(b: int, h: int, n: int, m: int, d: int,
     ``bias_pattern`` reproduces the towers' actual additive terms so the
     measured class is the executed one: "none" (ViT), "mask" a padding
     mask (b, 1, 1, m), "relpos+mask" T5's (1, h, n, m) + (b, 1, 1, m),
-    "full" the decoder-only combined causal+pad mask (b, 1, n, m)."""
+    "full" the decoder-only combined causal+pad mask (b, 1, n, m).
+
+    ``train=True`` additionally times fwd+bwd (jax.grad wrt q/k/v, and wrt
+    the rel-pos bias for the relpos class — the towers' only
+    parameter-derived bias) for the XLA path and the best Pallas tiles;
+    the recorded backend is then "pallas" only if it wins BOTH directions
+    (a class used in RESSA retraining pays the backward every step)."""
     from vlm_compression_tpu.ops import attention as at
 
     cache = _load_cache()
     key = _attn_key(b, h, n, m, d, dtype, causal)
-    if key in cache:
-        return cache[key]
+    if key in cache and not force:
+        dec = cache[key]
+        if not train or dec.get("xla_train_us") is not None:
+            return dec
     if jax.default_backend() != "tpu":
         return {"backend": "xla", "tiles": None,
                 "pallas_us": None, "xla_us": None}
@@ -506,6 +539,13 @@ def tune_attention(b: int, h: int, n: int, m: int, d: int,
         biases = [pad]
     elif bias_pattern == "relpos+mask":
         biases = [jax.random.normal(kb, (1, h, n, m), jnp.float32), pad]
+    elif bias_pattern == "relpos_full":
+        # T5 decoder self-attn in training: rel-pos + causal + pad are
+        # pre-summed into one (b, h, n, m) fp32 bias (t5.py:319-321)
+        tri = jnp.where(jnp.arange(m)[None, :]
+                        <= jnp.arange(n)[:, None] + (m - n), 0.0, -1e9)
+        biases = [jax.random.normal(kb, (1, h, n, m), jnp.float32)
+                  + tri[None, None] + pad]
     elif bias_pattern == "full":
         tri = jnp.where(jnp.arange(m)[None, :]
                         <= jnp.arange(n)[:, None] + (m - n), 0.0, -1e9)
@@ -540,6 +580,47 @@ def tune_attention(b: int, h: int, n: int, m: int, d: int,
         "pallas_us": round(t_pallas * 1e6, 1) if best else None,
         "xla_us": round(t_xla * 1e6, 1),
     }
+
+    if train and best is not None:
+        grad_bias = bias_pattern in ("relpos+mask", "relpos_full")
+        ct = jax.random.normal(jax.random.key(1), (b, n, h, d),
+                               jnp.float32).astype(jdt)
+
+        def mk_grad(fwd):
+            def loss(q_, k_, v_, *bs):
+                all_b = list(bs) + biases[len(bs):]
+                out = fwd(q_, k_, v_, all_b)
+                return jnp.sum(out.astype(jnp.float32)
+                               * ct.astype(jnp.float32))
+            nb = 1 if grad_bias else 0
+            g = jax.grad(loss, argnums=tuple(range(3 + nb)))
+
+            # reduce every grad fully so no backward output can be DCE'd,
+            # and time_call gets one array to fence on
+            def run(*a):
+                return jnp.stack([jnp.sum(t.astype(jnp.float32))
+                                  for t in g(*a)])
+            return jax.jit(run)
+
+        def xla_fwd(q_, k_, v_, bs):
+            return at.mha_reference(q_, k_, v_, bs, scale, causal)
+
+        def pl_fwd(q_, k_, v_, bs):
+            return at._flash_attention(q_, k_, v_, bs, scale, causal,
+                                       False, tuple(best))
+
+        args = (q, k, v) + ((biases[0],) if grad_bias else ())
+        tx_train = time_call(mk_grad(xla_fwd), *args, iters=iters)
+        try:
+            tp_train = time_call(mk_grad(pl_fwd), *args, iters=iters)
+        except Exception:
+            tp_train = float("inf")
+        decision["xla_train_us"] = round(tx_train * 1e6, 1)
+        decision["pallas_train_us"] = (round(tp_train * 1e6, 1)
+                                       if tp_train < float("inf") else None)
+        if decision["backend"] == "pallas" and not tp_train < tx_train:
+            decision["backend"] = "xla"
+
     cache[key] = decision
     _TUNED[key] = decision
     _save_cache()
@@ -550,22 +631,30 @@ def tune_attention(b: int, h: int, n: int, m: int, d: int,
 
 # Flagship attention shape classes with the towers' ACTUAL bias terms:
 # EVA ViT-g prefill (batch 16, 257 tokens, 16 heads × 88, no bias),
-# T5-XL long-sequence encoder (rel-pos + padding mask), Vicuna-7B
-# prefill (combined causal+pad mask passed as a bias, causal=False —
-# how llama.py actually calls attention_core).
+# T5-XL encoder (rel-pos + padding mask), decoder-only prefill at
+# 512/1024/2048 (Vicuna h32·d128, OPT-2.7B h32·d80 — combined causal+pad
+# mask passed as a bias, causal=False: how llama.py/opt.py actually call
+# attention_core), T5-XL decoder self/cross attention at KD-training
+# lengths.  `train=True` marks the classes RESSA retraining runs a
+# backward through — their decision requires a fwd AND bwd win.
 ATTN_SHAPES = [
-    # (b, h, n, m, d, causal, bias_pattern)
-    (16, 16, 257, 257, 88, False, "none"),
-    (8, 32, 512, 512, 64, False, "relpos+mask"),
-    (4, 32, 512, 512, 128, False, "full"),
+    # (b, h, n, m, d, causal, bias_pattern, train)
+    (16, 16, 257, 257, 88, False, "none", True),       # ViT-g prefill
+    (8, 32, 512, 512, 64, False, "relpos+mask", True),  # T5 enc self
+    (4, 32, 512, 512, 128, False, "full", False),      # Vicuna prefill 512
+    (2, 32, 1024, 1024, 128, False, "full", False),    # Vicuna prefill 1k
+    (1, 32, 2048, 2048, 128, False, "full", False),    # Vicuna prefill 2k
+    (4, 32, 512, 512, 80, False, "full", False),       # OPT-2.7B prefill
+    (8, 32, 256, 256, 64, False, "relpos_full", True),  # T5 dec self (KD)
+    (8, 32, 256, 512, 64, False, "mask", True),        # T5 dec cross (KD)
 ]
 
 
 def autotune_attention(shapes=None, dtype: str = "bfloat16",
                        iters: int = 10, verbose: bool = True) -> dict:
     out = {}
-    for b, h, n, m, d, causal, pattern in (shapes or ATTN_SHAPES):
+    for b, h, n, m, d, causal, pattern, train in (shapes or ATTN_SHAPES):
         out[_attn_key(b, h, n, m, d, dtype, causal)] = tune_attention(
-            b, h, n, m, d, dtype=dtype, causal=causal,
-            bias_pattern=pattern, iters=iters, verbose=verbose)
+            b, h, n, m, d, dtype=dtype, causal=causal, bias_pattern=pattern,
+            train=train, iters=iters, verbose=verbose)
     return out
