@@ -27,6 +27,14 @@ def init_distributed_mode(run_cfg=None) -> None:
     Single-host (the common case in tests and on one chip/slice) needs no
     initialisation at all; this function is then a no-op, mirroring the
     reference's ``distributed=False`` branch (dist_utils.py:62-66).
+
+    Rendezvous env vars, in precedence order:
+      * ``JAX_COORDINATOR_ADDRESS`` (+ ``JAX_NUM_PROCESSES`` /
+        ``JAX_PROCESS_ID``) — native names;
+      * ``MASTER_ADDR``/``MASTER_PORT`` + ``RANK``/``WORLD_SIZE`` — the
+        reference's ``env://`` names (dist_utils.py:57-76), so its
+        launch scripts keep working verbatim;
+      * any cluster auto-detection jax.distributed supports (SLURM, …).
     """
     global _initialized
     if _initialized:
@@ -34,8 +42,22 @@ def init_distributed_mode(run_cfg=None) -> None:
     if run_cfg is not None and not run_cfg.get("distributed", True):
         _initialized = True
         return
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if addr is None and os.environ.get("MASTER_ADDR") \
+            and os.environ.get("RANK") is not None:
+        addr = (os.environ["MASTER_ADDR"] + ":"
+                + os.environ.get("MASTER_PORT", "29500"))
+    if addr:
+        num = (os.environ.get("JAX_NUM_PROCESSES")
+               or os.environ.get("WORLD_SIZE"))
+        pid = os.environ.get("JAX_PROCESS_ID") or os.environ.get("RANK")
+        if num is not None and pid is not None:
+            jax.distributed.initialize(coordinator_address=addr,
+                                       num_processes=int(num),
+                                       process_id=int(pid))
+        else:
+            jax.distributed.initialize()
     _initialized = True
 
 

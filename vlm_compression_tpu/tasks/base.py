@@ -91,11 +91,20 @@ class BaseTask:
         import jax
 
         os.makedirs(result_dir, exist_ok=True)
+        real_grid = rank is None
         rank = jax.process_index() if rank is None else rank
         world = jax.process_count() if world is None else world
         shard = os.path.join(result_dir, f"{filename}_rank{rank}.json")
         with open(shard, "w") as f:
             json.dump(result, f)
+
+        # on a real multi-process grid, every shard must exist before the
+        # merge (reference base_task.py:366-367 barriers here); simulated
+        # rank/world callers orchestrate their own ordering
+        if real_grid and jax.process_count() > 1:
+            from vlm_compression_tpu.common.dist import barrier
+
+            barrier()
 
         final = os.path.join(result_dir, f"{filename}.json")
         if rank == 0:
