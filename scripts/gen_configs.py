@@ -278,7 +278,75 @@ def main():
             }} for b in builders}}
         written.append(_write(f"datasets/{d}/defaults.yaml", tree))
 
+    written += gen_zoo()
     print(f"wrote {len(written)} configs")
+
+
+REF_LAVIS = "/root/reference/lavis"
+
+# torch-runtime run keys that have no meaning here (the TPU runtime takes
+# its device/process layout from JAX, common/dist.py)
+_DROP_RUN_KEYS = ("device", "dist_url")
+
+
+def gen_zoo():
+    """Mirror the legacy-zoo config surface (VERDICT r2 task 7): the
+    reference's non-blip2 ``lavis/projects/*`` train/eval yamls
+    (albef/alpro/blip/clip/eva_clip/gpt/pnp-vqa — 64 files) and the zoo
+    model-default yamls + bert/med/clip/pnp json hyperparameter files
+    under ``lavis/configs/models/``.  These are run-config DATA mirrored
+    name-for-name so the reference's config-first launch commands port
+    verbatim; trees are re-serialized through our conventions with
+    torch-only run keys dropped and intra-config paths rebased.
+
+    Extraction needs the reference snapshot on disk; committed outputs
+    keep working without it."""
+    import glob
+    import json
+
+    if not os.path.isdir(REF_LAVIS):
+        print("reference tree absent; zoo configs left as committed")
+        return []
+    written = []
+    proj_root = os.path.join(REF_LAVIS, "projects")
+    for src in sorted(glob.glob(os.path.join(proj_root, "**", "*.yaml"),
+                                recursive=True)):
+        rel = os.path.relpath(src, proj_root)
+        if rel.split(os.sep)[0] == "blip2":
+            continue  # the blip2 tree is generated natively above
+        with open(src) as f:
+            tree = yaml.safe_load(f) or {}
+        run = tree.get("run") or {}
+        for k in _DROP_RUN_KEYS:
+            run.pop(k, None)
+        written.append(_write(os.path.join("projects", rel), tree))
+
+    models_root = os.path.join(REF_LAVIS, "configs", "models")
+    for src in sorted(glob.glob(os.path.join(models_root, "**", "*"),
+                                recursive=True)):
+        if os.path.isdir(src):
+            continue
+        rel = os.path.relpath(src, models_root)
+        if rel.split(os.sep)[0] == "blip2":
+            continue  # blip2 model defaults generated natively above
+        if src.endswith(".yaml"):
+            with open(src) as f:
+                tree = yaml.safe_load(f) or {}
+            m = tree.get("model") or {}
+            for k, v in list(m.items()):
+                if isinstance(v, str) and v.startswith("configs/models/"):
+                    m[k] = "configs/models/" + v[len("configs/models/"):]
+            written.append(_write(os.path.join("models", rel), tree))
+        elif src.endswith(".json"):
+            with open(src) as f:
+                data = json.load(f)
+            path = os.path.join(ROOT, "models", rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                json.dump(data, f, indent=2, sort_keys=True)
+                f.write("\n")
+            written.append(path)
+    return written
 
 
 if __name__ == "__main__":

@@ -149,6 +149,8 @@ def _graft_tower_checkpoints(module, variables, vit_path=None, t5_path=None,
 
 def main(argv=None):
     from vlm_compression_tpu.common.config import Config
+    from vlm_compression_tpu.models.model_zoo import (
+        default_config_path)
     from vlm_compression_tpu.compression import load_pruner
     from vlm_compression_tpu.compression.pruners.base import FlaxModel
     from vlm_compression_tpu.datasets.tokenization import load_tokenizer
@@ -162,7 +164,8 @@ def main(argv=None):
 
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO)
-    cfg = Config(cfg_path=args.cfg_path, options=args.options)
+    cfg = Config(cfg_path=args.cfg_path, options=args.options,
+                 defaults=default_config_path)
     for section in ("model", "datasets", "run"):
         if section not in cfg.config:
             cfg.config[section] = {}
@@ -203,19 +206,27 @@ def main(argv=None):
     model = FlaxModel(module, variables)
     arch = _get(model_cfg, "arch", "blip2_t5_instruct")
 
+    vocab = None          # language-tower vocab (zoo towers vary)
+    for attr in ("t5", "llm", "med", "text", "gpt"):
+        sub = getattr(module.cfg, attr, None)
+        if sub is not None and hasattr(sub, "vocab_size"):
+            vocab = sub.vocab_size
+            break
     tok = load_tokenizer(_get(model_cfg, "tokenizer_path"),
-                         vocab_size=(module.cfg.t5.vocab_size
-                                     if hasattr(module.cfg, "t5")
-                                     else module.cfg.llm.vocab_size))
-    qtok = load_tokenizer(_get(model_cfg, "qformer_tokenizer_path"),
-                          vocab_size=module.cfg.qformer.vocab_size)
+                         vocab_size=vocab)
+    qtok = (load_tokenizer(_get(model_cfg, "qformer_tokenizer_path"),
+                           vocab_size=module.cfg.qformer.vocab_size)
+            if hasattr(module.cfg, "qformer") else tok)
     # generation-driven tasks need tokenizers for decode
     if hasattr(task, "tokenizer"):
         task.tokenizer = tok
         task.qformer_tokenizer = qtok
-    prepare = (make_t5_batch_preparer(tok, qtok)
-               if arch == "blip2_t5_instruct"
-               else make_vicuna_batch_preparer(tok, qtok))
+    if arch == "blip2_t5_instruct":
+        prepare = make_t5_batch_preparer(tok, qtok)
+    elif arch == "blip2_vicuna_instruct":
+        prepare = make_vicuna_batch_preparer(tok, qtok)
+    else:
+        prepare = None    # legacy-zoo tasks tokenize inside valid_step
 
     datasets = task.build_datasets(cfg)
     runner = RunnerBase(cfg, task, model, datasets, job_id=job_id,

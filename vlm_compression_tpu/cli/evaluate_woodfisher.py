@@ -108,6 +108,8 @@ def main(argv=None):
     import numpy as np
 
     from vlm_compression_tpu.common.config import Config
+    from vlm_compression_tpu.models.model_zoo import (
+        default_config_path)
     from vlm_compression_tpu.compression.derivatives import (
         convert_activation_to_importance,
         get_activations,
@@ -131,7 +133,8 @@ def main(argv=None):
 
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO)
-    cfg = Config(cfg_path=args.cfg_path, options=args.options)
+    cfg = Config(cfg_path=args.cfg_path, options=args.options,
+                 defaults=default_config_path)
     for section in ("model", "datasets", "run"):
         if section not in cfg.config:
             cfg.config[section] = {}

@@ -126,6 +126,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     from vlm_compression_tpu.common.config import Config
+    from vlm_compression_tpu.models.model_zoo import (
+        default_config_path)
     from vlm_compression_tpu.compression import load_pruner
     from vlm_compression_tpu.compression.pruners.base import FlaxModel
     from vlm_compression_tpu.datasets.tokenization import load_tokenizer
@@ -145,7 +147,8 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     np.random.seed(args.seed)
 
-    cfg = Config(cfg_path=args.cfg_path, options=args.options)
+    cfg = Config(cfg_path=args.cfg_path, options=args.options,
+                 defaults=default_config_path)
     # materialize sections so CLI mutations stick (the properties return
     # fresh empty nodes for missing sections)
     for section in ("model", "datasets", "run"):
@@ -213,7 +216,8 @@ def main(argv=None):
         # non-distributed — here the sweep is one SPMD program either way)
         prune_runner = runner
         if args.prune_cfg_path:
-            pcfg = Config(cfg_path=args.prune_cfg_path, options=args.options)
+            pcfg = Config(cfg_path=args.prune_cfg_path, options=args.options,
+                          defaults=default_config_path)
             ptask = setup_task(pcfg)
             pdatasets = ptask.build_datasets(pcfg)
             prune_runner = RunnerBase(pcfg, ptask, model, pdatasets,
@@ -314,7 +318,8 @@ def main(argv=None):
         t0 = time.perf_counter()
         # evaluation may use its own config tree (reference train.py:651)
         if args.eval_cfg_path:
-            ecfg = Config(cfg_path=args.eval_cfg_path, options=args.options)
+            ecfg = Config(cfg_path=args.eval_cfg_path, options=args.options,
+                          defaults=default_config_path)
             etask = setup_task(ecfg)
             edatasets = etask.build_datasets(ecfg)
             runner = RunnerBase(ecfg, etask, runner.model, edatasets,

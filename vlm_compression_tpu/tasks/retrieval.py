@@ -11,6 +11,7 @@ import json
 import logging
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,6 +23,85 @@ from vlm_compression_tpu.models.blip2_qformer import (
     compute_sim_matrix,
 )
 from vlm_compression_tpu.tasks.base import BaseTask
+
+
+def zoo_sim_matrix(module, variables, image_batches, text_ids, text_mask,
+                   k_test: int = 0):
+    """Sim matrix for the legacy-zoo retrieval models.
+
+    BLIP-1 / ALBEF (blip_retrieval.py eval via runner compute_sim_matrix):
+    ITC ranking from the unimodal projections, plus an ITM rerank of the
+    ``k_test`` ITC-best candidates per row when k_test > 0.  CLIP /
+    EVA-CLIP: pure ITC over encode_image/encode_text (the reference's
+    clip eval has no ITM head)."""
+    import numpy as np
+
+    if hasattr(module, "encode_text"):        # CLIP family
+        ft = np.asarray(module.apply(
+            variables, text_ids, method=lambda m, t: m.encode_text(t)))
+        fis = [np.asarray(module.apply(
+            variables, b, method=lambda m, im: m.encode_image(im)))
+            for b in image_batches]
+        fi = np.concatenate(fis, axis=0)
+        s = fi @ ft.T
+        return s, s.T
+
+    # BLIP-1 / ALBEF trunk: unimodal features (+ hidden states for the
+    # ITM fusion pass, whose text argument differs per family — BLIP-1
+    # fuses from token ids, ALBEF from the unimodal text hidden states)
+    def text_fn(m, ids, mask):
+        txt = m.unimodal_text(ids, mask)
+        ft = m.text_proj(txt[:, 0].astype(jnp.float32))
+        return ft / jnp.linalg.norm(ft, axis=-1, keepdims=True), txt
+
+    def img_fn(m, image):
+        img = m.encode_image(image)
+        fi = m.vision_proj(img[:, 0].astype(jnp.float32))
+        return fi / jnp.linalg.norm(fi, axis=-1, keepdims=True), img
+
+    ft, txt_hidden = module.apply(variables, text_ids, text_mask,
+                                  method=text_fn)
+    ft = np.asarray(ft)
+    fi_list, emb_list = [], []
+    for b in image_batches:
+        f, e = module.apply(variables, b, method=img_fn)
+        fi_list.append(np.asarray(f))
+        emb_list.append(np.asarray(e))
+    fi = np.concatenate(fi_list, axis=0)
+    img_embeds = jnp.concatenate(emb_list, axis=0)
+    sim = fi @ ft.T                                  # (n_img, n_txt)
+    if not k_test:
+        return sim, sim.T
+
+    from vlm_compression_tpu.models.albef import AlbefBase
+
+    albef = isinstance(module, AlbefBase)
+
+    def itm_fn(m, t_arg, mask, img):
+        return m.itm_logits(t_arg, mask, img)
+
+    def rerank(base, pick_text):
+        out = np.full_like(base, -1e4)
+        k = min(k_test, base.shape[1])
+        for row in range(base.shape[0]):
+            topk = np.argsort(base[row])[::-1][:k].copy()
+            if pick_text:      # i2t: one image row, k texts
+                t_arg = (txt_hidden[topk] if albef else text_ids[topk])
+                msk = text_mask[topk]
+                img = jnp.repeat(img_embeds[row:row + 1], k, axis=0)
+            else:              # t2i: one text row, k images
+                t_arg = jnp.repeat(
+                    (txt_hidden if albef else text_ids)[row:row + 1],
+                    k, axis=0)
+                msk = jnp.repeat(text_mask[row:row + 1], k, axis=0)
+                img = img_embeds[topk]
+            logits = module.apply(variables, t_arg, msk, img, method=itm_fn)
+            itm = np.asarray(
+                jax.nn.softmax(logits.astype(jnp.float32), axis=-1))[:, 1]
+            out[row, topk] = base[row, topk] + itm
+        return out
+
+    return rerank(sim, True), rerank(sim.T, False)
 
 
 @registry.register_task("retrieval")
@@ -42,8 +122,6 @@ class RetrievalTask(BaseTask):
 
     def evaluation(self, model, data_loader, **kw):
         """data_loader wraps a RetrievalDataset (txt2img/img2txt maps)."""
-        assert isinstance(model.module, Blip2Qformer), \
-            "retrieval eval drives the stage-1 Q-Former model"
         ds = data_loader.dataset if hasattr(data_loader, "dataset") else None
         if ds is None:   # IterLoader wrapping
             ds = data_loader._loader.dataset
@@ -51,10 +129,18 @@ class RetrievalTask(BaseTask):
                                            self.max_txt_len)
         image_batches = (jnp.asarray(b["image"], jnp.float32)
                          for b in data_loader)
-        score_i2t, score_t2i = compute_sim_matrix(
-            model.module, model.variables, image_batches,
-            jnp.asarray(text_ids), jnp.asarray(text_mask),
-            k_test=self.k_test)
+        if isinstance(model.module, Blip2Qformer):
+            score_i2t, score_t2i = compute_sim_matrix(
+                model.module, model.variables, image_batches,
+                jnp.asarray(text_ids), jnp.asarray(text_mask),
+                k_test=self.k_test)
+        else:
+            # legacy-zoo models: BLIP-1 / ALBEF (ITC + optional ITM
+            # rerank) and CLIP / EVA-CLIP (pure ITC)
+            score_i2t, score_t2i = zoo_sim_matrix(
+                model.module, model.variables, image_batches,
+                jnp.asarray(text_ids), jnp.asarray(text_mask),
+                k_test=self.k_test)
         return {"score_i2t": score_i2t, "score_t2i": score_t2i,
                 "txt2img": ds.txt2img, "img2txt": ds.img2txt}
 
