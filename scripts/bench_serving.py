@@ -103,6 +103,41 @@ def main():
         print(f"    accepted/round={acc:.2f}  speedup vs greedy: "
               f"{t_greedy/t:.2f}x", flush=True)
 
+    # ---- small-draft tier: a genuinely smaller T5 drafts (the tier that
+    # can win wall-clock on TPU — same-size masked drafts cost the same
+    # MXU FLOPs as the target).  Random-init models never agree, so the
+    # acceptance rate is forced to its UPPER BOUND by zeroing BOTH weight
+    # trees: matmul cost is value-independent, and all-zero logits argmax
+    # to token 0 on draft and target alike (full agreement).  This
+    # measures the tok/s CEILING of the tier; real deployments land
+    # between greedy and this per their distilled draft's acceptance.
+    from vlm_compression_tpu.models.t5 import (
+        T5Config as _T5C, T5ForConditionalGeneration as _T5M)
+    dcfg_kw = dict(d_model=256, d_kv=64, d_ff=640, num_layers=4,
+                   num_decoder_layers=4, num_heads=4,
+                   vocab_size=base.get("vocab_size", 32128))
+    draft = _T5M(_T5C(**dcfg_kw))
+    dparams = draft.init(jax.random.PRNGKey(1), ids, amask,
+                         jnp.zeros((b, 4), jnp.int32))
+    zero = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)  # noqa: E731
+    zparams, zdparams = zero(params), zero(dparams)
+    t_greedy_z = timed("greedy (zeroed, ctl)", lambda: t5_generate(
+        model, zparams, ids, amask, cfg=gcfg, mode="dense"))
+    for gamma in (2, 4):
+        _, _, stats = t5_speculative_generate(
+            model, zparams, ids, amask, cfg=gcfg, gamma=gamma,
+            target_mode="dense", draft_mode="dense",
+            draft_model=draft, draft_variables=zdparams)
+        acc = float(stats["committed"]) / max(
+            1.0, float(stats["rounds"]) * args.batch)
+        t = timed(f"spec γ={gamma} small-draft",
+                  lambda g=gamma: t5_speculative_generate(
+                      model, zparams, ids, amask, cfg=gcfg, gamma=g,
+                      target_mode="dense", draft_mode="dense",
+                      draft_model=draft, draft_variables=zdparams)[0])
+        print(f"    accepted/round={acc:.2f}  CEILING speedup vs greedy: "
+              f"{t_greedy_z/t:.2f}x", flush=True)
+
     model8, params8 = build(kv_int8=True)
     timed("greedy + int8 KV", lambda: t5_generate(
         model8, params8, ids, amask, cfg=gcfg, mode="dense"))

@@ -253,3 +253,97 @@ def test_quantized_draft_variables():
     want = t5_generate(model, params, ids, amask, cfg=gcfg, mode="dense")
     np.testing.assert_array_equal(np.asarray(seqs), np.asarray(want))
     assert int(stats["rounds"]) >= 1
+
+
+# ---------------------------------------------------------------------------
+# heterogeneous drafts: a genuinely SMALLER model drafts for the big one
+# (the tier that wins wall-clock on TPU — same-size masked drafts cost the
+# same MXU FLOPs as the dense target; see BENCH_NOTES "Serving decode")
+# ---------------------------------------------------------------------------
+
+
+def _t5_small_draft(vocab, seed=7):
+    cfg = T5Config.tiny(vocab_size=vocab, d_model=8, d_kv=4, d_ff=16,
+                        num_layers=1, num_decoder_layers=1, num_heads=2,
+                        dtype="float32", param_dtype="float32")
+    model = T5ForConditionalGeneration(cfg)
+    ids = jnp.zeros((2, 7), jnp.int32)
+    params = model.init(jax.random.PRNGKey(seed), ids,
+                        jnp.ones((2, 7), jnp.int32),
+                        jnp.zeros((2, 3), jnp.int32))
+    return model, params
+
+
+def test_heterogeneous_t5_draft_exact():
+    """A 1-layer d_model=8 draft T5 drafting for the 2-layer d_model=16
+    target: output must equal the target's own dense greedy sequence."""
+    model, params, ids, amask = _t5(3)
+    draft, dparams = _t5_small_draft(model.cfg.vocab_size)
+    gcfg = GenerationConfig(max_length=11, eos_token_id=1, pad_token_id=0)
+    seqs, _, stats = t5_speculative_generate(
+        model, params, ids, amask, cfg=gcfg, gamma=3,
+        target_mode="dense", draft_mode="dense",
+        draft_model=draft, draft_variables=dparams)
+    want = t5_generate(model, params, ids, amask, cfg=gcfg, mode="dense")
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(want))
+    assert int(stats["rounds"]) >= 1
+
+
+def test_heterogeneous_draft_guards():
+    model, params, ids, amask = _t5(4)
+    draft, dparams = _t5_small_draft(model.cfg.vocab_size + 1)
+    gcfg = GenerationConfig(max_length=6, eos_token_id=1, pad_token_id=0)
+    with pytest.raises(ValueError, match="vocab"):
+        t5_speculative_generate(model, params, ids, amask, cfg=gcfg,
+                                draft_model=draft, draft_variables=dparams)
+    draft2, dparams2 = _t5_small_draft(model.cfg.vocab_size)
+    with pytest.raises(ValueError, match="draft_variables"):
+        t5_speculative_generate(model, params, ids, amask, cfg=gcfg,
+                                draft_model=draft2)
+
+
+def test_heterogeneous_causal_draft_exact():
+    """Smaller LLaMA drafts for a bigger one through its OWN embedding of
+    the same prompt; committed output == target's greedy decode."""
+    from vlm_compression_tpu.models.generation import (
+        causal_speculative_generate)
+    from vlm_compression_tpu.models.llama import (LlamaConfig,
+                                                  LlamaForCausalLM,
+                                                  make_causal_step)
+
+    rng = np.random.default_rng(0)
+    tcfg = LlamaConfig.tiny(dtype="float32", param_dtype="float32")
+    target = LlamaForCausalLM(tcfg)
+    prompt = jnp.asarray(rng.integers(2, tcfg.vocab_size, (2, 6)),
+                         jnp.int32)
+    pmask = jnp.asarray([[1] * 6, [0] * 2 + [1] * 4], jnp.int32)
+    tparams = target.init(jax.random.PRNGKey(0), prompt)
+    dcfg = LlamaConfig.tiny(hidden_size=8, intermediate_size=16,
+                            num_layers=1, num_heads=2,
+                            dtype="float32", param_dtype="float32")
+    draft = LlamaForCausalLM(dcfg)
+    dparams = draft.init(jax.random.PRNGKey(5), prompt)
+
+    gcfg = GenerationConfig(max_length=9, eos_token_id=-2, pad_token_id=0)
+    seqs, _, stats = causal_speculative_generate(
+        target, tparams, prompt, pmask, cfg=gcfg, gamma=3,
+        target_mode="dense", draft_mode="dense",
+        draft_model=draft, draft_variables=dparams)
+
+    # expected: plain greedy over the target with the same priming
+    emb = target.apply(tparams, prompt[:, :-1], method=target.embed_tokens)
+    step, cache = make_causal_step(target, tparams, emb, pmask[:, :-1],
+                                   mode="dense",
+                                   max_decode_len=gcfg.max_length)
+    start = prompt[:, -1]
+
+    def stepw(tok, c):
+        return step(jnp.where(tok == -1, start[:, None], tok), c)
+
+    import dataclasses as _dc
+    want, _ = greedy_generate(
+        stepw, cache, 2, _dc.replace(gcfg, decoder_start_token_id=-1))
+    want = np.array(want)
+    want[:, 0] = np.asarray(start)
+    np.testing.assert_array_equal(np.asarray(seqs), want)
+    assert int(stats["rounds"]) >= 1

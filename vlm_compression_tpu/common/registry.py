@@ -27,6 +27,14 @@ class Registry:
         self._maps: Dict[str, Dict[str, Any]] = {c: {} for c in self.CATEGORIES}
         self._paths: Dict[str, str] = {}
         self._state: Dict[str, Any] = {}
+        self._lazy: Dict[str, list] = {}
+
+    def register_lazy(self, category: str, loader: Callable) -> None:
+        """Deferred registration: ``loader()`` runs (once) the first time
+        a ``category`` lookup misses, then the lookup retries.  Lets the
+        legacy-zoo modules stay unimported on the RESSA fast path while
+        config-driven zoo names still resolve (models/__init__)."""
+        self._lazy.setdefault(category, []).append(loader)
 
     # -- generic machinery ------------------------------------------------
     def _register(self, category: str, name: str) -> Callable:
@@ -43,10 +51,18 @@ class Registry:
         try:
             return self._maps[category][name]
         except KeyError:
-            known = ", ".join(sorted(self._maps[category]))
-            raise KeyError(f"No {category} named '{name}'. Known: {known}") from None
+            for loader in self._lazy.pop(category, ()):
+                loader()
+            try:
+                return self._maps[category][name]
+            except KeyError:
+                known = ", ".join(sorted(self._maps[category]))
+                raise KeyError(
+                    f"No {category} named '{name}'. Known: {known}") from None
 
     def list_names(self, category: str):
+        for loader in self._lazy.pop(category, ()):
+            loader()
         return sorted(self._maps[category])
 
     # -- category-specific sugar (same API surface as the reference) ------

@@ -52,6 +52,14 @@ def _ensure_zoo_imported():
     import vlm_compression_tpu.models.t5_plain  # noqa: F401
 
 
+# a registry miss on a model name (e.g. a zoo arch out of a project yaml)
+# triggers the zoo import and retries — config-first zoo runs resolve
+# without every caller knowing about the lazy import
+from vlm_compression_tpu.common.registry import registry as _registry  # noqa: E402
+
+_registry.register_lazy("model", _ensure_zoo_imported)
+
+
 def load_model(name: str, model_type: str = "flant5xl", is_eval: bool = False,
                checkpoint: str = None, tiny: bool = False, seed: int = 0):
     """(module, variables) by registry name — counterpart of

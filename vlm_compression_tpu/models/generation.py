@@ -562,7 +562,8 @@ def t5_speculative_generate(model, variables, input_ids=None,
                             cfg: Optional[GenerationConfig] = None,
                             draft_mode: str = "masked",
                             target_mode: str = "dense", gamma: int = 4,
-                            rng=None, draft_variables=None):
+                            rng=None, draft_variables=None,
+                            draft_model=None):
     """Self-speculative T5 generate: the compressed student
     (``draft_mode``) drafts, the dense teacher (``target_mode``) verifies
     — one variables dict, two forward modes, exactly the RESSA pairing.
@@ -570,11 +571,21 @@ def t5_speculative_generate(model, variables, input_ids=None,
     ``target_mode``.
 
     Wall-clock speedup needs the draft's STEP to be cheaper than the
-    target's — on the MXU a masked forward costs the same as dense, so
-    pass ``draft_variables`` holding a QUANTIZED tree
-    (ops/quant.quantize_params_tree: int8 kernels serve w8a8, measured
-    7.8× at the XL matmul shapes) while the target keeps the bf16
-    teacher weights.  Any draft keeps output exactness."""
+    target's.  Three draft tiers, cheapest step first:
+
+    * ``draft_model`` — a genuinely SMALLER T5 (fewer layers / narrower
+      d_model; only the vocab must match).  It runs its own encoder over
+      ``input_ids`` and decodes against its own encoding; the target
+      still commits every token, so output exactness is unaffected —
+      the draft only sets the accept rate.  This is the tier that wins
+      wall-clock on TPU: a same-size masked draft costs the same MXU
+      FLOPs as the dense target, and serving measurements
+      (BENCH_NOTES "Serving decode") show same-size drafts LOSE.
+    * ``draft_variables`` — same architecture, cheaper weights (e.g. an
+      int8 tree from ops/quant.quantize_params_tree serving w8a8).
+    * ``draft_mode`` — same weights dict, masked/compressed forward
+      (zero extra memory; no step-cost win on the MXU).
+    """
     cfg = cfg or GenerationConfig(
         decoder_start_token_id=model.cfg.decoder_start_token_id,
         pad_token_id=model.cfg.pad_token_id)
@@ -582,15 +593,93 @@ def t5_speculative_generate(model, variables, input_ids=None,
         variables, input_ids, inputs_embeds, attention_mask, target_mode,
         method=model.encode)
     b = enc_out.shape[0]
-    # the draft decodes against the TARGET encoding (one encoder pass —
-    # same as the blip2 wrapper): the draft only sets the accept rate,
-    # never the committed output, so output exactness is unaffected
     max_len = cfg.max_length + gamma * (
         2 if model.cfg.kv_cache_per_row else 1) + 1
-    dstep, dcache = make_t5_step(model, draft_variables or variables,
-                                 enc_out, attention_mask, draft_mode,
-                                 max_len)
+    if draft_model is not None:
+        if draft_model.cfg.vocab_size != model.cfg.vocab_size:
+            raise ValueError(
+                "draft/target vocab mismatch: "
+                f"{draft_model.cfg.vocab_size} vs {model.cfg.vocab_size}")
+        if draft_variables is None:
+            raise ValueError("draft_model requires draft_variables")
+        if input_ids is None:
+            # inputs_embeds live in the TARGET's d_model; a narrower
+            # draft cannot consume them (blip2 wrappers pass input_ids)
+            raise ValueError("heterogeneous draft needs input_ids")
+        d_enc = draft_model.apply(
+            draft_variables, input_ids, None, attention_mask, draft_mode,
+            method=draft_model.encode)
+        dstep, dcache = make_t5_step(draft_model, draft_variables, d_enc,
+                                     attention_mask, draft_mode, max_len)
+    else:
+        # the draft decodes against the TARGET encoding (one encoder
+        # pass): it only sets the accept rate, never the committed output
+        dstep, dcache = make_t5_step(model, draft_variables or variables,
+                                     enc_out, attention_mask, draft_mode,
+                                     max_len)
     tstep, tcache = make_t5_step(model, variables, enc_out,
                                  attention_mask, target_mode, max_len)
     return speculative_generate(dstep, dcache, tstep, tcache, b, cfg,
                                 gamma=gamma, rng=rng)
+
+
+def causal_speculative_generate(model, variables, prompt_input_ids,
+                                prompt_attention_mask=None,
+                                cfg: Optional[GenerationConfig] = None,
+                                gamma: int = 4, rng=None,
+                                target_mode: str = "dense",
+                                draft_mode: str = "masked",
+                                draft_model=None, draft_variables=None):
+    """Bare decoder-only (LLaMA/Vicuna/OPT) speculative serving.
+
+    Like ``t5_speculative_generate`` but for the causal families: the
+    prompt primes both KV caches, the last prompt token seeds the loop.
+    With ``draft_model`` a genuinely SMALLER causal LM (same vocab, any
+    width/depth) drafts — it primes its OWN cache by embedding the same
+    prompt tokens through its own table — while the big target commits
+    every token, so output is exactly the target's greedy sequence.
+    Text-only prompts (token ids); the blip2 wrappers keep same-model
+    drafts because their prefix holds image queries at the target's
+    hidden size.
+
+    Both models' cfgs must agree on ``kv_cache_per_row``.
+    """
+    from vlm_compression_tpu.models.llama import make_causal_step
+
+    cfg = cfg or GenerationConfig()
+    b = prompt_input_ids.shape[0]
+    per_row = getattr(model.cfg, "kv_cache_per_row", False)
+    max_len = cfg.max_length + gamma * (2 if per_row else 1) + 1
+    start = prompt_input_ids[:, -1].astype(jnp.int32)
+
+    def prime(m, v, mode):
+        emb = m.apply(v, prompt_input_ids[:, :-1], method=m.embed_tokens)
+        mask = (prompt_attention_mask[:, :-1].astype(jnp.int32)
+                if prompt_attention_mask is not None else None)
+        return make_causal_step(m, v, emb, mask, mode=mode,
+                                max_decode_len=max_len), emb.shape[1]
+
+    if draft_model is not None:
+        if draft_model.cfg.vocab_size != model.cfg.vocab_size:
+            raise ValueError(
+                "draft/target vocab mismatch: "
+                f"{draft_model.cfg.vocab_size} vs {model.cfg.vocab_size}")
+        if draft_variables is None:
+            raise ValueError("draft_model requires draft_variables")
+        (dstep, dcache), p = prime(draft_model, draft_variables,
+                                   draft_mode)
+    else:
+        (dstep, dcache), p = prime(model, draft_variables or variables,
+                                   draft_mode)
+    (tstep, tcache), _ = prime(model, variables, target_mode)
+
+    def chunk_start(step):
+        def f(tokens, c):
+            return step(jnp.where(tokens == -1, start[:, None], tokens), c)
+        return f
+
+    gcfg = dataclasses.replace(cfg, decoder_start_token_id=-1)
+    seqs, lengths, stats = speculative_generate(
+        chunk_start(dstep), dcache, chunk_start(tstep), tcache, b, gcfg,
+        gamma=gamma, rng=rng, cache_offset=p)
+    return seqs.at[:, 0].set(start), lengths, stats
