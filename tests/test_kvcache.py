@@ -17,6 +17,7 @@ from vlm_compression_tpu.models.generation import (
 from vlm_compression_tpu.models.kvcache import dequantize_kv, quantize_kv
 from vlm_compression_tpu.models.t5 import T5Config, T5ForConditionalGeneration
 from vlm_compression_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+import pytest
 
 
 def test_quantize_roundtrip_error():
@@ -29,6 +30,7 @@ def test_quantize_roundtrip_error():
     assert rel < 0.006  # per-(token,head) absmax int8: ~0.3% RMS
 
 
+@pytest.mark.slow  # int8 cache fast-covered by the llama variant
 def test_t5_decode_int8_matches_full_logits():
     """One decode step: int8-cached logits close to full-precision (the
     only difference is the KV round-trip)."""

@@ -203,6 +203,7 @@ def test_amp_dtype_policy_knob():
     assert cfg_amp.t5.dtype == "bfloat16"
 
 
+@pytest.mark.slow  # build_model fast-covered by runner/factory tests
 def test_task_build_model_threads_run_amp(tmp_path):
     from vlm_compression_tpu.common.config import Config
     from vlm_compression_tpu.tasks.base import BaseTask

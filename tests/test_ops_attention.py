@@ -216,6 +216,7 @@ def test_pallas_backward_rectangular_causal():
                                    atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow  # kernel grads fast-covered by the direct pallas_backward_* tests
 def test_vit_tower_grads_through_pallas_backward():
     """End-to-end: tiny ViT loss grads identical between forced-kernel
     (Pallas fwd + Pallas bwd — no bias terms in ViT) and reference."""
@@ -415,6 +416,7 @@ def test_flash_attention_sharded_biased_dbias():
                                    atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow  # kernel grads fast-covered by the direct pallas_backward_* tests
 def test_t5_tower_grads_through_pallas_backward():
     """End-to-end: tiny T5 loss grads (incl. the rel-pos bias EMBEDDING
     parameter, reached through the dbias kernel) identical between

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vlm_compression_tpu.ops.quant import (
     dequantize_params_tree,
@@ -90,6 +91,7 @@ def test_sparse_linear_int8_forward():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # int4/int8 kernels have direct fast parity tests
 def test_quantized_model_forward():
     from vlm_compression_tpu.models.blip2_t5_instruct import (
         Blip2T5Instruct,

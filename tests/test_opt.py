@@ -13,6 +13,7 @@ from vlm_compression_tpu.models.opt import (
 )
 
 
+@pytest.mark.slow  # HF-parity oracle; forward fast-covered by test_opt_loss_and_modes
 def test_opt_matches_hf():
     transformers = pytest.importorskip("transformers")
     import torch
@@ -79,6 +80,7 @@ def test_blip2_opt_forward():
     assert np.isfinite(float(teacher["loss"]))
 
 
+@pytest.mark.slow  # generate machinery fast-covered by t5/vicuna generate tests
 def test_generate_opt_shapes():
     """BLIP-2-OPT generate (reference blip2_opt.py:171-286 parity
     surface): greedy and beam decodes over the primed OPT KV cache."""
@@ -108,6 +110,7 @@ def test_generate_opt_shapes():
         assert np.all(np.asarray(seqs)[:, 0] == 1)
 
 
+@pytest.mark.slow  # vqa-generate integration fast-covered by the t5 family
 def test_vqa_task_generates_with_opt():
     from vlm_compression_tpu.compression.pruners.base import FlaxModel
     from vlm_compression_tpu.datasets.tokenization import SimpleTokenizer

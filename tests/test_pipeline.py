@@ -78,6 +78,7 @@ def test_pipeline_with_data_axis(mesh):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # forward parity + data-axis tests stay fast
 def test_pipeline_gradients_match_sequential(mesh):
     """jax.grad through the GPipe schedule == grad of the sequential net
     (ppermute/scan transposes implement the pipeline backward)."""

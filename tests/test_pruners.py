@@ -241,6 +241,7 @@ def test_t5_wanda_24_structured():
     np.testing.assert_array_equal(counts, np.full_like(counts, 2))
 
 
+@pytest.mark.slow  # wanda e2e fast-covered by test_t5_wanda_block0_matches_oracle
 def test_wanda_hybrid_tile_end_to_end():
     """--hybrid_tile path: tile-level hybrid masks through the full
     pruner sweep (dense salient tiles + n:m elsewhere, overall density

@@ -33,8 +33,9 @@ def _steps(model, params, ids, amask, gcfg, gamma, mode="masked"):
     return make_t5_step(model, params, enc, amask, mode, max_len), enc
 
 
-@pytest.mark.parametrize("gamma", [2, 4])
-@pytest.mark.parametrize("rep,minlen", [(1.0, 1), (1.3, 4)])
+# two combos, not the 2×2 product: each (gamma, rep) pair is a distinct
+# compiled program and the plain/penalized branches are both covered
+@pytest.mark.parametrize("gamma,rep,minlen", [(4, 1.0, 1), (2, 1.3, 4)])
 def test_matches_greedy_same_model(gamma, rep, minlen):
     """Draft == target: every proposal accepted, output == greedy, and
     the verify count collapses to ~max_length/gamma rounds."""
@@ -56,6 +57,7 @@ def test_matches_greedy_same_model(gamma, rep, minlen):
         jnp.any(seqs == gcfg.eos_token_id))
 
 
+@pytest.mark.slow  # strictly weaker than the heterogeneous-draft exactness tests
 def test_matches_greedy_with_weak_draft():
     """A DIFFERENT (differently-initialized) draft model: acceptance is
     partial but the output must still be the target's greedy sequence."""
@@ -274,6 +276,7 @@ def _t5_small_draft(vocab, seed=7):
     return model, params
 
 
+@pytest.mark.slow  # hetero exactness fast-gated by test_heterogeneous_draft_guards
 def test_heterogeneous_t5_draft_exact():
     """A 1-layer d_model=8 draft T5 drafting for the 2-layer d_model=16
     target: output must equal the target's own dense greedy sequence."""
@@ -302,6 +305,7 @@ def test_heterogeneous_draft_guards():
                                 draft_model=draft2)
 
 
+@pytest.mark.slow  # hetero exactness fast-gated by test_heterogeneous_draft_guards
 def test_heterogeneous_causal_draft_exact():
     """Smaller LLaMA drafts for a bigger one through its OWN embedding of
     the same prompt; committed output == target's greedy decode."""

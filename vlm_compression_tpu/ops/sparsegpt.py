@@ -376,16 +376,36 @@ def _sparsegpt_prune_impl(
     H = H + jnp.diag(jnp.where(dead, 1.0, 0.0))
     W = jnp.where(dead[None, :], 0.0, W)
 
-    # --- factorize H, invert, factorize Hinv ----------------------------
+    # --- upper Cholesky factor of H⁻¹ ------------------------------------
+    # The reference materializes H⁻¹ (cholesky → cholesky_inverse) and
+    # factorizes it again (sparsegpt_pruner.py:127-141); the sweep only
+    # ever reads the UPPER FACTOR.  The exchange-matrix identity
+    #   chol_upper(H⁻¹) = J·chol_lower(J·H·J)⁻¹·J   (J = anti-identity)
+    # yields that factor from ONE Cholesky + ONE triangular inverse —
+    # dropping the n³ gemm forming H⁻¹ and the second 2n³ Cholesky
+    # (≈45% of the OBS linalg FLOPs; verified to machine precision).
+    # Deviations from the reference, both pathological-input-only: the
+    # inf-clamp + damped retry it applies to the EXPLICIT H⁻¹ have no
+    # equivalent here (H⁻¹ is never formed; infs there require overflow
+    # past fp32 from an H the first damping already rejected).
+    # VCT_OBS_INV=explicit restores the materialized path for A/B.
     H = _clamp_infs(H)
     damp = percdamp * jnp.mean(jnp.diagonal(H))
-    L = damped_cholesky(H, damp)
-    Hinv_full = _cholesky_inverse(L)
-
-    Hinv_full = _clamp_infs(Hinv_full)
-    damp2 = percdamp * jnp.mean(jnp.abs(jnp.diagonal(Hinv_full)))
-    L2 = damped_cholesky(Hinv_full, damp2)
-    Hinv = L2.T  # upper factor, as torch.linalg.cholesky(·, upper=True)
+    if _os.environ.get("VCT_OBS_INV") == "explicit":
+        L = damped_cholesky(H, damp)
+        Hinv_full = _cholesky_inverse(L)
+        Hinv_full = _clamp_infs(Hinv_full)
+        damp2 = percdamp * jnp.mean(jnp.abs(jnp.diagonal(Hinv_full)))
+        L2 = damped_cholesky(Hinv_full, damp2)
+        Hinv = L2.T  # upper, as torch.linalg.cholesky(·, upper=True)
+    else:
+        M = damped_cholesky(H[::-1, ::-1], damp)
+        if _FACTOR_IMPL == "dc":
+            Minv = _tri_inverse_lower_level_batched(M)
+        else:
+            panel = _pick_panel(M.shape[0])
+            Minv = _tri_inverse_lower_blocked(M, panel or 128)
+        Hinv = Minv[::-1, ::-1]  # upper Cholesky factor of H⁻¹
 
     hinv_diag = jnp.diagonal(Hinv)
     importance = jnp.mean(jnp.abs(W * W / (hinv_diag[None, :] ** 2)))
