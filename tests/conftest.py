@@ -6,15 +6,23 @@ Must run before jax is imported anywhere.
 """
 
 import os
+import re
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_backend_optimization_level" not in flags:
-    # compile time dominates the suite on a 1-CPU host; opt level 0 cuts
-    # CPU compiles ~30% and the tiny test models don't need fused code
-    flags = flags + " --xla_backend_optimization_level=0"
+# Compile time dominates the suite on a 1-CPU host; opt level 0 cuts CPU
+# compiles ~30% and the tiny test models don't need fused code.  CAVEAT:
+# opt level 0 reorders fp32 reductions enough to flip top-k TIES, so the
+# opt-0 tier is for speed-insensitive tests only — bit-exactness tests
+# that compare across program shapes (sharded vs unsharded) re-exec
+# themselves in a subprocess with VCT_XLA_OPT=1 (see
+# test_sharded_prune.py).  Any pre-existing level flag is replaced so the
+# subprocess env wins over the inherited parent flags.
+opt_level = os.environ.get("VCT_XLA_OPT", "0")
+flags = re.sub(r"--xla_backend_optimization_level=\S+", "", flags).strip()
+flags = flags + f" --xla_backend_optimization_level={opt_level}"
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402

@@ -9,6 +9,10 @@ recursion are row-parallel), and GSPMD inserts the collectives.  Masks
 must match the unsharded run exactly.
 """
 
+import os
+import subprocess
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -64,6 +68,30 @@ def _collect_masks(variables):
 @pytest.mark.parametrize("pruner_name", ["blipt5_wanda_pruner",
                                          "blipt5_sparsegpt_pruner"])
 def test_sharded_prune_matches_unsharded(pruner_name):
+    if (pruner_name == "blipt5_wanda_pruner"
+            and os.environ.get("VCT_XLA_OPT", "0") == "0"):
+        # The Wanda case asserts BIT-IDENTICAL masks, which requires XLA
+        # opt level >= 1: at the fast tier's opt level 0 the backend
+        # reorders fp32 reductions enough to flip top-k ties between the
+        # sharded and unsharded programs (2/512 bits at
+        # t5_model/decoder/blocks_1/ffn/wo).  Re-exec this exact test in
+        # a subprocess pinned to opt level 1 via VCT_XLA_OPT (conftest.py
+        # replaces any inherited level flag), so the invariant is proven
+        # under the harness that ships at any outer tier.
+        env = dict(os.environ, VCT_XLA_OPT="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             f"{__file__}::test_sharded_prune_matches_unsharded"
+             f"[{pruner_name}]"],
+            env=env, capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert r.returncode == 0, (
+            f"opt-1 subprocess failed:\n{r.stdout[-6000:]}\n{r.stderr[-2000:]}")
+        return
+    _run_prune_comparison(pruner_name)
+
+
+def _run_prune_comparison(pruner_name):
     model, variables, batches = _tiny_setup()
     common = dict(vit_prune_spec="2-0.5-1.0-1.0",
                   t5_prune_spec="2-0.5-1.0-1.0", num_samples=16)

@@ -189,6 +189,9 @@ class AlproBase(nn.Module):
                                      name="itm_head")
         self.temp = self.param("temp", nn.initializers.constant(0.07), ())
 
+    def encode_video(self, video, mode="masked"):
+        return self.visual_encoder(video, mode=mode)
+
     def unimodal_text(self, ids, mask, mode="masked"):
         cfg = self.cfg.med
         x = self.text_encoder.embed(ids)
@@ -204,6 +207,11 @@ class AlproBase(nn.Module):
             inputs_embeds=text_hidden, attention_mask=mask,
             encoder_hidden_states=video_embeds, encoder_attention_mask=vm,
             start_layer=self.cfg.med.fusion_start, mode=mode)
+
+    def itm_logits(self, text_hidden, mask, video_embeds, mode="masked"):
+        """VTM logits for the retrieval rerank (alpro_retrieval.py:330-338)."""
+        fused = self.fuse(text_hidden, mask, video_embeds, mode=mode)
+        return self.itm_head(fused[:, 0].astype(jnp.float32), mode=mode)
 
     def vtc_feats(self, video, ids, mask, mode="masked"):
         vid = self.visual_encoder(video, mode=mode)

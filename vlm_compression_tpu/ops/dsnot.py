@@ -274,7 +274,11 @@ def _dsnot_unstructured(W, dsnot_metric, initial_metric, pruned0,
         gptr = gptr.at[rows, s_g].add(jnp.where(s_g == 0, 1, -1))
 
         s_p = (err < 0).astype(jnp.int32)
-        pp = jnp.clip(pptr[rows, s_p], 0, n_in - 1)
+        # prune_list is only res_num entries wide (the kept columns);
+        # clamp to ITS boundary so an exhausted pointer re-reads the
+        # boundary element instead of aliasing through _reorder_indice's
+        # forced-0 slots onto wanda_order[:, 0]
+        pp = jnp.clip(pptr[rows, s_p], 0, res_num - 1)
         p = prune_list[rows, pp]
         pm = dsnot_metric[rows, p]
         pptr = pptr.at[rows, s_p].add(jnp.where(s_p == 0, 1, -1))
