@@ -105,12 +105,21 @@ def compute_the_sparsity_per_group(
     group_num_parameters: Dict[str, int],
     max_sparsity_per_layer: float = 0.8,
     max_iters: int = 100,
+    reference_fixups: bool = False,
 ) -> Dict[str, float]:
     """Iterative proportional allocation of params-to-keep
-    (reference layer_single_base_pruner.py:305-375)."""
+    (reference layer_single_base_pruner.py:305-375).
+
+    ``reference_fixups=True`` reproduces the reference's over-total
+    behavior bit-for-bit for the parity tests: its "remove extra
+    parameters" branch has a ``+=`` typo where only ``-=`` terminates
+    correctly (reference :357-368), so the reference systematically keeps
+    MORE than the budget (the ceil overshoot is never taken back, and the
+    broken walk adds the overshoot again).  The default mode subtracts, so
+    the budget is hit exactly — the allocator's announced invariant."""
     names = list(group_scores)
-    scores = np.array([max(float(group_scores[n]), 0.0) for n in names],
-                      np.float64)
+    dt = np.float32 if reference_fixups else np.float64
+    scores = np.array([max(float(group_scores[n]), 0.0) for n in names], dt)
     nparams = np.array([int(group_num_parameters[n]) for n in names],
                        np.int64)
     floor_keep = np.ceil(nparams * (1.0 - max_sparsity_per_layer)).astype(
@@ -121,7 +130,7 @@ def compute_the_sparsity_per_group(
     for _ in range(max_iters):
         if keep.sum() >= total_keep:
             break
-        total_ratio = scores.sum()
+        total_ratio = scores.sum(dtype=dt)
         if total_ratio <= 0:
             # no scored capacity left: spread over whatever has room
             need = total_keep - keep.sum()
@@ -133,7 +142,7 @@ def compute_the_sparsity_per_group(
                     break
             break
         rest = total_keep - keep.sum()
-        add = np.ceil(scores / total_ratio * rest).astype(np.int64)
+        add = np.ceil((scores / total_ratio) * dt(rest)).astype(np.int64)
         keep = keep + add
         scores[keep >= nparams] = 0.0
         keep = np.minimum(keep, nparams)
@@ -150,8 +159,14 @@ def compute_the_sparsity_per_group(
     elif keep.sum() > total_keep:
         over = keep.sum() - total_keep
         for i in np.argsort(-keep, kind="stable"):
-            can = min(over, int(keep[i] - floor_keep[i]))
-            keep[i] -= can
+            # reference remove-branch floor: int() truncation, not ceil
+            floor_i = (int(nparams[i] * (1.0 - max_sparsity_per_layer))
+                       if reference_fixups else floor_keep[i])
+            can = min(over, int(keep[i]) - floor_i)
+            if reference_fixups:
+                keep[i] += can      # the reference's += typo, verbatim
+            else:
+                keep[i] -= can
             over -= can
             if over <= 0:
                 break
@@ -182,7 +197,9 @@ class LayerSparsity:
                  prefixes: Optional[Sequence[str]] = None,
                  loss_fn: Optional[Callable] = None,
                  seed: int = 0,
-                 owl_m: float = 5.0):
+                 owl_m: float = 5.0,
+                 noise_fn: Optional[Callable] = None,
+                 reference_fixups: bool = False):
         assert max_sparsity_per_layer >= original_sparsity, (
             "max_sparsity_per_layer must cover the budget "
             "(reference :146)")
@@ -199,6 +216,19 @@ class LayerSparsity:
         self.prefixes = prefixes
         self.seed = seed
         self.owl_m = float(owl_m)
+        # Deterministic-noise hook for the MeZO scorers: when set,
+        # ``noise_fn(tag, key_str, shape) -> ndarray`` supplies every z
+        # (tag = batch index for mezo-diff, (leaf, batch, noise) for the
+        # per-layer variants).  Used by the reference-parity tests to replay
+        # the reference's torch.manual_seed Gaussians through our estimator
+        # math; the injected mezo-diff path also applies the reference's
+        # per-batch drift to the LIVE weights (:546-553) exactly, where the
+        # default path scores all batches at the original weights (the
+        # drift is O(1e-3/total_params) — immaterial at scale, exact only
+        # under injection).
+        self.noise_fn = noise_fn
+        # bug-compat allocation (see compute_the_sparsity_per_group)
+        self.reference_fixups = reference_fixups
         self.loss_fn = loss_fn or self._default_loss
 
     # -- plumbing ------------------------------------------------------
@@ -247,7 +277,8 @@ class LayerSparsity:
         total_keep = int(sum(nparams.values())
                          * (1.0 - self.original_sparsity))
         group_sparsity = compute_the_sparsity_per_group(
-            total_keep, group_scores, group_np, self.max_sparsity_per_layer)
+            total_keep, group_scores, group_np, self.max_sparsity_per_layer,
+            reference_fixups=self.reference_fixups)
 
         result = {"/".join(k): group_sparsity[mapping[k]] for k in keys}
         kept = sum((1.0 - result["/".join(k)]) * nparams[k] for k in keys)
@@ -272,7 +303,13 @@ class LayerSparsity:
                 if compute == "obd":
                     out[k] = jnp.sum(w * w * g * g)
                 elif compute == "aobd":
-                    out[k] = jnp.sum(jnp.abs(w) * jnp.abs(g))
+                    # reference precedence quirk (:469-474): the
+                    # composition dispatch tests `"obd" in score_compute`
+                    # FIRST, which "aobd" also matches — so first-order
+                    # aobd is w²·mean|g| (obd composition over the aobd
+                    # |g| accumulator), NOT |w|·|ḡ|.  Replicated verbatim;
+                    # proven by test_reference_alloc_parity.py.
+                    out[k] = jnp.sum(w * w * jnp.abs(g))
                 else:  # gradient
                     out[k] = jnp.sum(jnp.abs(g))
             return out
@@ -339,6 +376,8 @@ class LayerSparsity:
 
     # -- MeZO full-model drift scorer (reference :495-575) -------------
     def _score_mezo_diff(self, variables, keys):
+        if self.noise_fn is not None:
+            return self._score_mezo_diff_injected(variables, keys)
         params = variables["params"]
         frozen = {k: v for k, v in variables.items() if k != "params"}
         eps = self.noise_eps
@@ -401,6 +440,64 @@ class LayerSparsity:
                 sums[k] = float(jnp.sum(jnp.abs(d)))
         return sums
 
+    def _score_mezo_diff_injected(self, variables, keys):
+        """Reference-exact mezo-diff under injected noise: z from
+        ``noise_fn(batch_i, key, shape)`` and the per-batch drift applied
+        to the LIVE weights before the next batch's losses
+        (reference :546-553)."""
+        params = variables["params"]
+        frozen = {k: v for k, v in variables.items() if k != "params"}
+        eps = self.noise_eps
+        total = int(sum(np.prod(_tree_get(params, k)["kernel"].shape)
+                        for k in keys))
+        lr = 1e-3 / total
+        skeys = ["/".join(k) for k in keys]
+
+        def perturbed(p, zs, scale):
+            for k in keys:
+                leaf = dict(_tree_get(p, k))
+                w = leaf["kernel"]
+                leaf["kernel"] = (w.astype(jnp.float32)
+                                  + scale * zs["/".join(k)]).astype(w.dtype)
+                p = _tree_set(p, k, leaf)
+            return p
+
+        @jax.jit
+        def pg_fn(p, zs, batch):
+            l1 = self.loss_fn({"params": perturbed(p, zs, +eps), **frozen},
+                              batch)
+            l2 = self.loss_fn({"params": perturbed(p, zs, -eps), **frozen},
+                              batch)
+            return (l1 - l2) / (2.0 * eps)
+
+        drift = {s: jnp.zeros(_tree_get(params, k)["kernel"].shape,
+                              jnp.float32)
+                 for s, k in zip(skeys, keys)}
+        live = params
+        batches = self._batches()
+        for i, b in enumerate(batches):
+            zs = {"/".join(k): jnp.asarray(
+                self.noise_fn(i, "/".join(k),
+                              _tree_get(params, k)["kernel"].shape),
+                jnp.float32) for k in keys}
+            pg = pg_fn(live, zs, b)
+            step = {s: pg * zs[s] * lr for s in skeys}
+            drift = {s: drift[s] - step[s] for s in skeys}
+            live = perturbed(live, step, -1.0)
+
+        nb = max(len(batches), 1)
+        sums = {}
+        for k, s in zip(keys, skeys):
+            d = drift[s] / nb
+            w = _tree_get(params, k)["kernel"].astype(jnp.float32)
+            if self.score_compute == "mezo-obd":
+                sums[k] = float(jnp.sum(w * w * d * d))
+            elif self.score_compute == "mezo-aobd":
+                sums[k] = float(jnp.sum(jnp.abs(w) * jnp.abs(d)))
+            else:  # mezo-gradient
+                sums[k] = float(jnp.sum(jnp.abs(d)))
+        return sums
+
     # -- per-layer MeZO scorer (reference :577-728, EcoFLaP-style) -----
     def _score_mezo_layer(self, variables, keys):
         params = variables["params"]
@@ -413,34 +510,52 @@ class LayerSparsity:
         # one jitted fn per leaf (path is static), built lazily
         cache = {}
 
-        def projected_grad(k, rng, batch):
-            shape = _tree_get(params, k)["kernel"].shape
-            if k not in cache:
-                def f(p, rng, batch, _k=k):
+        def projected_grad(k, z_or_rng, batch, injected):
+            if (k, injected) not in cache:
+                def f(p, zr, batch, _k=k, _inj=injected):
                     def pert(scale):
                         leaf = dict(_tree_get(p, _k))
                         w = leaf["kernel"]
-                        z = jax.random.normal(rng, w.shape, jnp.float32)
+                        z = (zr if _inj else
+                             jax.random.normal(zr, w.shape, jnp.float32))
                         leaf["kernel"] = (w.astype(jnp.float32)
                                           + scale * eps * z).astype(w.dtype)
                         return _tree_set(p, _k, leaf)
                     l1 = self.loss_fn({"params": pert(+1.0), **frozen}, batch)
                     l2 = self.loss_fn({"params": pert(-1.0), **frozen}, batch)
                     return (l1 - l2) / (2.0 * eps)
-                cache[k] = jax.jit(f)
-            return cache[k](params, rng, batch)
+                cache[(k, injected)] = jax.jit(f)
+            return cache[(k, injected)](params, z_or_rng, batch)
 
         batches = self._batches(num_samples)
         root = jax.random.key(self.seed)
         grad_scalar = {}
         for li, k in enumerate(keys):
             acc = 0.0
+            # the reference's sample budget counts one batch_len per NOISE
+            # evaluation (accum_samples += batch_len inside the n_mezo
+            # loop, :630-633), so e.g. bs=1, n_mezo=4, num_samples=8 means
+            # two batches — replicated here with the same accounting
+            accum = 0
             for bi, b in enumerate(batches):
+                if accum >= num_samples:
+                    break
                 per = 0.0
                 for ni in range(n_noise):
-                    rng = jax.random.fold_in(root, (li * 997 + bi) * 31 + ni)
-                    pg = float(projected_grad(k, rng, b))
+                    if accum >= num_samples:
+                        break
+                    if self.noise_fn is not None:
+                        zr = jnp.asarray(self.noise_fn(
+                            (li, bi, ni), "/".join(k),
+                            _tree_get(params, k)["kernel"].shape),
+                            jnp.float32)
+                    else:
+                        zr = jax.random.fold_in(
+                            root, (li * 997 + bi) * 31 + ni)
+                    pg = float(projected_grad(
+                        k, zr, b, self.noise_fn is not None))
                     per += abs(pg) if one else pg
+                    accum += int(next(iter(b.values())).shape[0])
                 acc += abs(per)
             grad_scalar[k] = acc
 
@@ -453,8 +568,11 @@ class LayerSparsity:
                 sums[k] = float(jnp.sum(w * w)) * g * g
             elif self.score_compute.endswith("aobd"):
                 sums[k] = float(jnp.sum(jnp.abs(w))) * g
-            else:  # *mezo-gradient: scalar per element
-                sums[k] = g * float(np.prod(w.shape))
+            else:
+                # *mezo-gradient: the reference's importance tensor is the
+                # 1-element |projected grad| itself (:647-649, 725-727), so
+                # the group score is the bare scalar — NOT scaled by numel
+                sums[k] = g
         return sums
 
 

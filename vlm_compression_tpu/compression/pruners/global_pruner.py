@@ -155,12 +155,17 @@ class BlipT5GlobalPruner(LayerWisePrunerBase):
 
 @registry.register_pruner("blipt5_mag_pruner")
 class BlipT5MagPruner(BlipT5GlobalPruner):
+    """NOTE: the reference scores by the SIGNED weight value, not |W|
+    (global_pruner.py:242-243 returns ``v.data.float()`` with no abs), so
+    the most-negative weights prune first — replicated verbatim for
+    bit-parity (proven by test_reference_alloc_parity.py)."""
+
     pruner_name = "blipt5_mag_pruner"
 
     def compute_importance(self, variables, keys, batches):
         p = variables["params"]
-        return {"/".join(k): jnp.abs(
-            _tree_get(p, k)["kernel"].astype(jnp.float32)) for k in keys}
+        return {"/".join(k):
+                _tree_get(p, k)["kernel"].astype(jnp.float32) for k in keys}
 
 
 @registry.register_pruner("blipt5_rand_pruner")
@@ -215,22 +220,27 @@ class BlipT5MezoPruner(BlipT5GlobalPruner):
 
     pruner_name = "blipt5_mezo_pruner"
     noise_eps = 1e-3
+    # test hook: noise_fn((leaf, batch, noise), key_str, shape) -> ndarray
+    # replays externally-generated Gaussians (reference-parity tests)
+    noise_fn = None
 
     def compute_importance(self, variables, keys, batches):
         module = self.model.module
         frozen = {k: v for k, v in variables.items() if k != "params"}
         params = variables["params"]
         eps = self.noise_eps
+        injected = self.noise_fn is not None
 
         cache = {}
 
-        def projected_grad(k, rng, batch):
+        def projected_grad(k, z_or_rng, batch):
             if k not in cache:
-                def f(p, rng, batch, _k=k):
+                def f(p, zr, batch, _k=k):
                     def pert(scale):
                         leaf = dict(_tree_get(p, _k))
                         w = leaf["kernel"]
-                        z = jax.random.normal(rng, w.shape, jnp.float32)
+                        z = (zr if injected else
+                             jax.random.normal(zr, w.shape, jnp.float32))
                         leaf["kernel"] = (w.astype(jnp.float32)
                                           + scale * eps * z).astype(w.dtype)
                         return _tree_set(p, _k, leaf)
@@ -240,15 +250,29 @@ class BlipT5MezoPruner(BlipT5GlobalPruner):
                         {"params": pert(-1.0), **frozen}, **batch)["loss"]
                     return (l1 - l2) / (2.0 * eps)
                 cache[k] = jax.jit(f)
-            return cache[k](params, rng, batch)
+            return cache[k](params, z_or_rng, batch)
 
         root = jax.random.key(self.seed)
         out = {}
         for li, k in enumerate(keys):
             acc = 0.0
-            for bi, b in enumerate(batches[: self.num_samples]):
+            # sample budget consumed per noise eval, reference :345-360
+            accum = 0
+            for bi, b in enumerate(batches):
+                if accum >= self.num_samples:
+                    break
                 for ni in range(self.num_noise):
-                    rng = jax.random.fold_in(root, (li * 997 + bi) * 31 + ni)
-                    acc += abs(float(projected_grad(k, rng, b)))
+                    if accum >= self.num_samples:
+                        break
+                    if injected:
+                        zr = jnp.asarray(self.noise_fn(
+                            (li, bi, ni), "/".join(k),
+                            _tree_get(params, k)["kernel"].shape),
+                            jnp.float32)
+                    else:
+                        zr = jax.random.fold_in(
+                            root, (li * 997 + bi) * 31 + ni)
+                    acc += abs(float(projected_grad(k, zr, b)))
+                    accum += int(next(iter(b.values())).shape[0])
             out["/".join(k)] = jnp.full((1, 1), acc, jnp.float32)
         return out

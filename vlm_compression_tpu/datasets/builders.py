@@ -127,9 +127,11 @@ SNLIVEBuilder = _register("snli_ve", I.VisualEntailmentDataset,
 # retrieval/caption video builders).  Item classes load pre-extracted
 # frame stacks → (t, h, w, c) per sample; the collater batches to the
 # 5-dim (b, t, h, w, c) video input of the instruct models.
-for _n in ("msrvtt_caption", "msvd_caption", "vatex_caption",
-           "msrvtt_retrieval", "didemo_retrieval"):
+for _n in ("msrvtt_caption", "msvd_caption", "vatex_caption"):
     _register(_n, I.VideoCaptionDataset, I.VideoCaptionEvalDataset)
+for _n in ("msrvtt_retrieval", "didemo_retrieval"):
+    # eval exposes text/txt2img/img2txt for the ALPRO sim-matrix task
+    _register(_n, I.VideoCaptionDataset, I.VideoRetrievalDataset)
 for _n in ("msrvtt_qa", "msvd_qa"):
     _register(_n, I.VideoQADataset, I.VideoQAEvalDataset)
 AVSDBuilder = _register("avsd_dialogue", I.VideoDialogueDataset,

@@ -130,7 +130,7 @@ class RetrievalDataset(BaseItemDataset):
         self.txt2img: List[int] = []
         self.img2txt: Dict[int, List[int]] = {}
         for img_i, ann in enumerate(self.annotation):
-            self.image_paths.append(ann["image"])
+            self.image_paths.append(ann.get("image", ann.get("video")))
             self.img2txt[img_i] = []
             caps = ann["caption"]
             caps = caps if isinstance(caps, list) else [caps]
@@ -267,9 +267,19 @@ class _VideoFramesMixin:
                     u8 = np.clip(arr, 0, 255).astype(np.uint8)
                 else:
                     u8 = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+            if hasattr(self.vis_processor, "n_frms"):
+                # whole-video processor (alpro_video_*): takes the (t,h,w,c)
+                # stack and does its own temporal subsampling
+                return np.asarray(self.vis_processor(u8), np.float32)
             frames = [self.vis_processor(Image.fromarray(f)) for f in u8]
         else:
             paths = self._frame_paths(spec)
+            if hasattr(self.vis_processor, "n_frms"):
+                pils = [Image.open(p).convert("RGB") for p in paths]
+                out = np.asarray(self.vis_processor(pils), np.float32)
+                for im in pils:
+                    im.close()
+                return out
             frames = []
             for p in paths:
                 with Image.open(p) as img:
@@ -292,6 +302,20 @@ class VideoCaptionDataset(_VideoFramesMixin, CaptionDataset):
 class VideoCaptionEvalDataset(_VideoFramesMixin, CaptionEvalDataset):
     def _image(self, ann):
         return self._video(ann)
+
+
+class VideoRetrievalDataset(_VideoFramesMixin, RetrievalDataset):
+    """MSRVTT/DiDeMo retrieval: parallel video/caption lists — the ALPRO
+    sim-matrix eval reads ``dataset.text`` / ``txt2img`` / ``img2txt``
+    (alpro_retrieval.py:242-260) and batches under the ``video`` key."""
+
+    def __getitem__(self, i):
+        ann = self.annotation[i]
+        return {
+            "video": self._video(ann),
+            "index": i,
+            "instance_id": ann["instance_id"],
+        }
 
 
 class VideoQADataset(_VideoFramesMixin, VQADataset):
