@@ -137,7 +137,11 @@ def make_t5_encoder_adapter(cfg: T5Config,
         side = {}
         if attn_mask is not None:
             bias = bias + extend_mask(attn_mask)
-            side["token_mask"] = attn_mask
+        # NOTE: padded positions are NOT excluded from the calibration
+        # stats — the reference's WrappedGPT hooks accumulate scaler_row/
+        # Hessian over every token including pads (wanda_pruner.py:68-81),
+        # and mask parity requires the same (update_calib_stats still
+        # accepts a token_mask for callers that want the exclusion).
         side["self_bias"] = bias
         return embeds, side
 
@@ -177,7 +181,7 @@ def make_t5_decoder_adapter(cfg: T5Config,
         side = {"enc_out": enc_out, "cross_mask": extend_mask(enc_mask)}
         if dec_mask is not None:
             bias = bias + extend_mask(dec_mask)
-            side["token_mask"] = dec_mask
+        # pads included in stats — reference parity (see encoder adapter)
         side["self_bias"] = bias
         return dec_embeds, side
 
@@ -221,7 +225,7 @@ def make_llama_adapter(cfg, inputs_fn: Callable,
                 attn_mask[:, None, None, :].astype(bool), 0.0, -1e9)
             positions = jnp.maximum(
                 jnp.cumsum(attn_mask.astype(jnp.int32), axis=-1) - 1, 0)
-            side["token_mask"] = attn_mask
+            # pads included in stats — reference parity (see above)
         else:
             positions = jnp.broadcast_to(jnp.arange(n)[None], (b, n))
         side["mask"] = mask
