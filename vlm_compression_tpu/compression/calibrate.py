@@ -393,6 +393,18 @@ def calibrate_and_prune_tower(
         warm_thread = _start_mask_prewarm(adapter, new_params, mask_fn,
                                           sparsity_for, with_hessian)
 
+    # progress densities are emitted with a 2-block LAG: float() on a
+    # density scalar waits for that block's mask programs, and a per-block
+    # hard sync would re-serialize the pipelined OBS dispatch (the mask fns
+    # keep a bounded in-flight window — see methods.sparsegpt_mask_fn)
+    pending_progress: List[tuple] = []
+
+    def _flush_progress(keep: int = 0):
+        while len(pending_progress) > keep:
+            i, d = pending_progress.pop(0)
+            progress(f"[{adapter.name}] block {i + 1}/"
+                     f"{len(adapter.block_names)} density={float(d):.3f}")
+
     for bi, bname in enumerate(adapter.block_names):
         bparams = new_params[bname]
         bmasks = new_masks.get(bname, {})
@@ -471,10 +483,12 @@ def calibrate_and_prune_tower(
                   flush=True)
 
         if progress:
-            dens = float(jnp.mean(jnp.stack(
-                [result.masks[p].mean() for p in lpaths])))
-            progress(f"[{adapter.name}] block {bi + 1}/"
-                     f"{len(adapter.block_names)} density={dens:.3f}")
+            pending_progress.append((bi, jnp.mean(jnp.stack(
+                [result.masks[p].mean() for p in lpaths]))))
+            _flush_progress(keep=2)
+
+    if progress:
+        _flush_progress()
 
     # write back into the full variable tree (new_params/new_masks are copies
     # of the subtree dicts, so non-block keys are preserved)

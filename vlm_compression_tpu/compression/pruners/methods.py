@@ -72,8 +72,20 @@ def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
     from vlm_compression_tpu.ops.sparsegpt import (sparsegpt_prune,
                                                    sparsegpt_prune_batched)
 
+    import collections
     import os
     import time
+
+    # Bounded in-flight window instead of a hard sync per group: each OBS
+    # solve holds H + Hinv + fp32 weight copies (~0.5 GB on XL FFN shapes),
+    # so unbounded queueing OOMs a 16 GB chip — but a FULL sync per group
+    # idles the device for a host round-trip (+ the next group's stacking
+    # dispatches) ~350 times per XL sweep.  A window of 2 keeps the device
+    # fed while bounding transient memory; the deque persists across blocks
+    # (the engine memoizes this fn per tower), so the NEXT block's stats
+    # fold also overlaps the previous block's tail solves.
+    inflight = collections.deque()
+    window = max(1, int(os.environ.get("VCT_OBS_INFLIGHT", "2")))
 
     def fn(kernels, stats, sparsities):
         dbg = os.environ.get("VCT_DEBUG_TIMING")
@@ -87,6 +99,8 @@ def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
         masks, new_k, imps = {}, {}, {}
         for (shape, sp), paths in groups.items():
             t0 = time.perf_counter()
+            while len(inflight) >= window:
+                jax.block_until_ready(inflight.popleft())
             if len(paths) == 1:
                 # vmap costs up to 5× on a single member (batched
                 # gathers/slices degrade); call the plain program
@@ -101,11 +115,9 @@ def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
                 res = sparsegpt_prune_batched(
                     ws, hs, sp, prune_n=prune_n, prune_m=prune_m,
                     blocksize=blocksize, percdamp=percdamp)
-            # bound the async dispatch queue: each OBS solve holds
-            # H + Hinv + fp32 weight copies (~0.5 GB on XL FFN shapes);
-            # letting several queue concurrently OOMs a 16 GB chip
-            jax.block_until_ready(res.weight)
+            inflight.append(res.weight)
             if dbg:
+                jax.block_until_ready(res.weight)
                 print(f"      [dbg] obs G={len(paths)} {shape} "
                       f"{time.perf_counter() - t0:.2f}s", flush=True)
             for i, p in enumerate(paths):
@@ -214,6 +226,17 @@ def gptq_fn(prune_n: int = 0, prune_m: int = 0, bits: int = 4,
     from vlm_compression_tpu.ops.gptq import (gptq_quantize,
                                               gptq_quantize_batched)
 
+    import collections
+    import os
+
+    # bounded in-flight window — same rationale as sparsegpt_mask_fn
+    inflight = collections.deque()
+    window = max(1, int(os.environ.get("VCT_OBS_INFLIGHT", "2")))
+
+    def _throttle():
+        while len(inflight) >= window:
+            jax.block_until_ready(inflight.popleft())
+
     def fn(kernels, stats, sparsities):
         groups = {}
         for p, k in kernels.items():
@@ -229,6 +252,7 @@ def gptq_fn(prune_n: int = 0, prune_m: int = 0, bits: int = 4,
                 # problem, fake-quant back in original space.  Equal-shape
                 # linears batch into ONE search+sweep program (one host
                 # sync per group, not per linear) like the plain path.
+                _throttle()
                 search = functools.partial(awq_search, bits=bits,
                                            groupsize=groupsize, sym=sym)
                 if len(paths) == 1:
@@ -248,13 +272,14 @@ def gptq_fn(prune_n: int = 0, prune_m: int = 0, bits: int = 4,
                     wsc, hsc = jax.vmap(apply_awq)(ws, hs, sc.s)
                     res = gptq_quantize_batched(wsc, hsc, **kw)
                     s_all = sc.s
-                jax.block_until_ready(res.weight)
+                inflight.append(res.weight)
                 for i, p in enumerate(paths):
                     masks[p] = res.keep_mask[i].T
                     new_k[p] = unscale_weight(
                         res.weight[i], s_all[i]).astype(kernels[p].dtype).T
                     imps[p] = jnp.mean(res.losses[i])
                 continue
+            _throttle()
             if len(paths) == 1:
                 res = gptq_quantize(
                     kernels[paths[0]].T,
@@ -264,7 +289,7 @@ def gptq_fn(prune_n: int = 0, prune_m: int = 0, bits: int = 4,
                 ws = jnp.stack([kernels[p].T for p in paths])
                 hs = jnp.stack([finalize_hessian(stats[p]) for p in paths])
                 res = gptq_quantize_batched(ws, hs, **kw)
-            jax.block_until_ready(res.weight)
+            inflight.append(res.weight)
             for i, p in enumerate(paths):
                 masks[p] = res.keep_mask[i].T
                 new_k[p] = res.weight[i].T

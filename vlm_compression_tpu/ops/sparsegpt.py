@@ -178,6 +178,12 @@ import os as _os
 
 _FACTOR_IMPL = _os.environ.get("VCT_OBS_FACTOR", "rolled")
 
+# Unstructured-sweep substitution: "panel" (default) = S-wide panels with
+# an unrolled in-panel recursion; "serial" = per-column recursion (A/B
+# and odd-shape fallback).  VCT_OBS_PANEL sets S (default 16).
+_SUBST_IMPL = _os.environ.get("VCT_OBS_SUBST", "panel")
+_SUBST_S = int(_os.environ.get("VCT_OBS_PANEL", "16"))
+
 
 def damped_cholesky(h: jnp.ndarray, damp: jnp.ndarray, max_tries: int = 32) -> jnp.ndarray:
     """Lower Cholesky factor, adding damp·I until NaN-free (bounded retries)."""
@@ -441,31 +447,80 @@ def _sparsegpt_prune_impl(
             #   A_r[k,i] = pruned_r[i]·Hinv1[k,i]  (k<i),
             #   A_r[i,i] = pruned_r[i] ? d_i : 1,
             # which gives  x_i = pruned_i · (w_i − Σ_{k<i} x_k·U[k,i]) / d_i.
-            # Solve by FORWARD SUBSTITUTION vectorized over rows: step i is
-            # one (units,B)×(B,1) matvec against the masked strict-upper
-            # column — x's entries ≥ i are still zero, so the full product
-            # sums exactly k<i.  O(units·B²) total, ~250× fewer FLOPs than
-            # the previous Neumann-doubling matrix inverse (which squared a
-            # (units,B,B) tensor log₂B times; measured 4.4× slower at ViT
-            # shapes, and batched TRSM 4-5× slower still).  fp32
-            # precision=HIGHEST throughout: faster AND ~1e4× more accurate
-            # than default for these solves (measured).
+            # Solve by BLOCKED forward substitution vectorized over rows:
+            # the B columns split into panels of S=16; per panel ONE
+            # (units,B)×(B,S) matmul folds in every already-solved column
+            # (x's entries ≥ the panel are still zero; the cross term is
+            # masked by pruned — in the one-shot system the mask rides in
+            # A's columns, so moving solved columns to the RHS must keep
+            # it), then the in-panel recursion runs serially on the small
+            # (units,S) slice only.  The column recursion is HBM-bound,
+            # not FLOP-bound: a full-width step reads/writes the whole
+            # (units,B) x every column (measured 4.3 µs/step plain and
+            # 42 µs/step under the G-vmap — ~60% of the XL OBS phase), the
+            # in-panel step touches (units,16) — ~10× less traffic per
+            # block.  Two rejected alternatives, both measured slower: a
+            # full-width B×B per-row Neumann inverse (squares a
+            # (units,B,B) tensor — 4.4×), and in-panel 16³ batched-
+            # doubling inverses (16×16 matmuls waste the 128×128 MXU tile;
+            # 2.3× slower end-to-end).  fp32 precision=HIGHEST throughout:
+            # faster AND ~1e4× more accurate than default for these solves
+            # (measured).  VCT_OBS_SUBST=serial restores the unblocked
+            # recursion for A/B.
             strict_u = jnp.triu(Hinv1, k=1)                      # (B, B)
             pr = prune1.astype(jnp.float32)                      # (units, B)
             wp = W1 * pr
 
-            def subst(i, x):
-                u_col = jax.lax.dynamic_slice(strict_u, (0, i), (B, 1))
-                s = jnp.dot(x, u_col,
-                            precision=jax.lax.Precision.HIGHEST)  # (units,1)
-                num = jax.lax.dynamic_slice(wp, (0, i), (units, 1)) - s
-                pi = jax.lax.dynamic_slice(pr, (0, i), (units, 1))
-                di = jax.lax.dynamic_slice(d1, (i,), (1,))
-                return jax.lax.dynamic_update_slice(
-                    x, pi * num / di[None, :], (0, i))
+            S = _SUBST_S if (B % _SUBST_S == 0 and B > _SUBST_S
+                             and _SUBST_IMPL != "serial") else 0
+            if S:
+                def panel(j, x):
+                    i = j * S
+                    prp = jax.lax.dynamic_slice(pr, (0, i), (units, S))
+                    ucols = jax.lax.dynamic_slice(strict_u, (0, i), (B, S))
+                    rhs = (jax.lax.dynamic_slice(wp, (0, i), (units, S))
+                           - prp * jnp.dot(
+                               x, ucols,
+                               precision=jax.lax.Precision.HIGHEST))
+                    upp = jnp.triu(
+                        jax.lax.dynamic_slice(Hinv1, (i, i), (S, S)), k=1)
+                    dp = jax.lax.dynamic_slice(d1, (i,), (S,))
 
-            x = jax.lax.fori_loop(
-                0, B, subst, jnp.zeros((units, B), jnp.float32))
+                    # in-panel recursion UNROLLED (S static steps): each
+                    # step is one fused (units,S) FMA — acc[:, j] carries
+                    # p_j·(w_j − cross_j − Σ_{k<c} x_k·U[k,j]) forward, so
+                    # x_c = acc[:, c]/d_c directly.  Static indexing lets
+                    # XLA fuse the whole chain into a few VPU kernels; the
+                    # rolled equivalent paid a fori_loop iteration (carry
+                    # materialization + dynamic slices + a (units,S)×(S,1)
+                    # matvec) per column — measured 14.5 µs/serial step,
+                    # ~60% of the XL OBS sweep.
+                    acc = rhs
+                    cols = []
+                    for c in range(S):
+                        xc = acc[:, c] / dp[c]
+                        cols.append(xc)
+                        if c + 1 < S:
+                            acc = acc - prp * (xc[:, None] * upp[c][None, :])
+                    xp = jnp.stack(cols, axis=1)
+                    return jax.lax.dynamic_update_slice(x, xp, (0, i))
+
+                x = jax.lax.fori_loop(
+                    0, B // S, panel, jnp.zeros((units, B), jnp.float32))
+            else:
+                def subst(i, x):
+                    u_col = jax.lax.dynamic_slice(strict_u, (0, i), (B, 1))
+                    s = jnp.dot(
+                        x, u_col,
+                        precision=jax.lax.Precision.HIGHEST)  # (units,1)
+                    num = jax.lax.dynamic_slice(wp, (0, i), (units, 1)) - s
+                    pi = jax.lax.dynamic_slice(pr, (0, i), (units, 1))
+                    di = jax.lax.dynamic_slice(d1, (i,), (1,))
+                    return jax.lax.dynamic_update_slice(
+                        x, pi * num / di[None, :], (0, i))
+
+                x = jax.lax.fori_loop(
+                    0, B, subst, jnp.zeros((units, B), jnp.float32))
             Err1 = x
             Q1 = jnp.where(prune1, 0.0,
                            W1 - jnp.dot(x, strict_u,
