@@ -26,6 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import jax
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
@@ -69,6 +72,8 @@ def main():
     gcfg = GenerationConfig(max_length=L, eos_token_id=-2,  # never stop:
                             pad_token_id=0)                 # fixed work
 
+    results = {}
+
     def timed(label, fn):
         out = fn()
         _sync(out)                       # warm (compile + cache load)
@@ -80,6 +85,7 @@ def main():
         toks = b * (L - 1)
         print(f"{label:24s} {dt*1e3:9.1f} ms  {toks/dt:9.1f} tok/s",
               flush=True)
+        results[label] = round(toks / dt, 1)
         return dt
 
     def build(kv_int8=False):
@@ -176,6 +182,12 @@ def main():
                   f"{t_greedy/t:.2f}x", flush=True)
     finally:
         use_dynamic_int8(False)
+
+    import json
+    print(json.dumps({"metric": "t5_decode_tok_s",
+                      "scale": "xl" if args.xl else "base",
+                      "batch": b, "max_length": L,
+                      "tok_s": results}), flush=True)
 
 
 if __name__ == "__main__":
