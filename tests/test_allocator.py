@@ -77,8 +77,8 @@ def test_select_keys_and_groups():
     assert set(gm_model.values()) == {"encoder", "decoder"}
 
 
-@pytest.mark.parametrize("score_method", ["aobd_avg", "obd_sum",
-                                          "gradient_avg"])
+@pytest.mark.parametrize("score_method", ["aobd_avg", "aobd-strict_avg",
+                                          "obd_sum", "gradient_avg"])
 def test_first_order_allocation_budget(score_method):
     model, variables, batch = _tiny_t5()
     alloc = LayerSparsity(

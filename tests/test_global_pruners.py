@@ -72,6 +72,7 @@ def test_layerwise_mask_per_layer_budget():
     ("blipt5_mag_pruner", {}),
     ("blipt5_mag_pruner", {"is_global": True}),
     ("blipt5_mag_pruner", {"is_global": True, "prune_per_model": True}),
+    ("blipt5_absmag_pruner", {}),
     ("blipt5_rand_pruner", {}),
     ("blipt5_aobd_pruner", {}),
 ])

@@ -42,6 +42,9 @@ def _fold_captured_stats(captured, stats, side, with_hessian):
         update_calib_stats,
     )
 
+    # opt-in pad exclusion for CUSTOM adapters only — no built-in stem
+    # sets "token_mask" (reference parity accumulates stats over pads;
+    # see the NOTE in make_t5_encoder_adapter)
     tmask = side.get("token_mask") if isinstance(side, dict) else None
     new = {}
     for path, act in captured.items():

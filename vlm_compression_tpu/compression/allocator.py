@@ -4,7 +4,9 @@ Counterpart of the reference's ``LayerSparsity``
 (lavis/compression/pruners/layer_single_base_pruner.py:111-728): given a
 global sparsity budget, score layer *groups* (per-model / per-block /
 per-layer granularity) with first-order gradients (``obd`` = W²·ḡ²,
-``aobd`` = |W|·|ḡ|, ``gradient`` = |ḡ|) or zeroth-order MeZO estimators
+``aobd`` = W²·mean|g| — the reference's dispatch precedence quirk,
+see ``_score_first_order``; ``aobd-strict`` = the literal |W|·|ḡ|;
+``gradient`` = |ḡ|) or zeroth-order MeZO estimators
 (seed-replayed Gaussian perturbations, projected gradient
 ``(loss₊ − loss₋)/2ε``), then waterfill parameters-to-keep across groups
 proportionally to score, clamped by ``max_sparsity_per_layer``
@@ -184,8 +186,8 @@ def compute_the_sparsity_per_group(
 
 class LayerSparsity:
     """score_method = "<compute>_<aggregate>": compute ∈ {obd, aobd,
-    gradient, mezo-{obd,aobd,gradient}, lmezo-*, olmezo-*}, aggregate ∈
-    {sum, avg} (reference :139-146)."""
+    aobd-strict, gradient, mezo-{obd,aobd,gradient}, lmezo-*, olmezo-*},
+    aggregate ∈ {sum, avg} (reference :139-146)."""
 
     def __init__(self, model, data_loader, original_sparsity: float,
                  granularity: str = "block",
@@ -309,7 +311,11 @@ class LayerSparsity:
                     # aobd is w²·mean|g| (obd composition over the aobd
                     # |g| accumulator), NOT |w|·|ḡ|.  Replicated verbatim;
                     # proven by test_reference_alloc_parity.py.
+                    # "aobd-strict" below gives the literal semantics.
                     out[k] = jnp.sum(w * w * jnp.abs(g))
+                elif compute == "aobd-strict":
+                    # beyond-reference: what the name says, |W|·|ḡ|
+                    out[k] = jnp.sum(jnp.abs(w) * jnp.abs(g))
                 else:  # gradient
                     out[k] = jnp.sum(jnp.abs(g))
             return out

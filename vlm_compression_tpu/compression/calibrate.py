@@ -85,7 +85,11 @@ class TowerAdapter:
       captured: {linear_path: activations} when capture=True
     stem_fn(variables, batch) -> (x0, side)
       side: extra inputs every block needs (attention biases, encoder
-      outputs, token validity mask under key "token_mask").
+      outputs).  A "token_mask" key, if present, EXCLUDES masked
+      positions from the calibration stats — an opt-in no built-in
+      adapter sets: the reference's hooks accumulate over every
+      position including pads (wanda_pruner.py:68-81), and mask
+      parity requires the same.
     stem_key: optional process-wide identity of the stem COMPUTATION
       (module structure + dataflow-mode flags).  When set, the engine
       reuses one jitted stem per key across prune calls — a fresh

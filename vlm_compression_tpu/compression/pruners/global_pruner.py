@@ -8,11 +8,15 @@ over the concatenated scores, per-model, or per-layer (reference
 only zeroes weights — the keep-masks also written to the ``masks``
 collection so the sparse forward stays mask-driven.
 
-Registry parity: ``blipt5_mag_pruner`` (|W|), ``blipt5_rand_pruner``,
-``blipt5_aobd_pruner`` (|W|·|ḡ| first-order), ``blipt5_mezo_pruner``
-(zeroth-order per-layer scalar scores — note the reference's MeZO variant
-scores each layer with a *single scalar*, so thresholding keeps or drops
-whole layers; replicated faithfully, reference :345-383).
+Registry parity: ``blipt5_mag_pruner`` (SIGNED weight value — the
+reference's :242-243 returns ``v.data.float()`` with no abs, so the
+most-negative weights prune first; replicated for bit-parity, with
+``blipt5_absmag_pruner`` as the beyond-reference |W| variant),
+``blipt5_rand_pruner``, ``blipt5_aobd_pruner`` (|W|·|ḡ| first-order),
+``blipt5_mezo_pruner`` (zeroth-order per-layer scalar scores — note the
+reference's MeZO variant scores each layer with a *single scalar*, so
+thresholding keeps or drops whole layers; replicated faithfully,
+reference :345-383).
 """
 
 from __future__ import annotations
@@ -166,6 +170,22 @@ class BlipT5MagPruner(BlipT5GlobalPruner):
         p = variables["params"]
         return {"/".join(k):
                 _tree_get(p, k)["kernel"].astype(jnp.float32) for k in keys}
+
+
+@registry.register_pruner("blipt5_absmag_pruner")
+class BlipT5AbsMagPruner(BlipT5GlobalPruner):
+    """Beyond-reference: magnitude pruning by |W| — what ``mag`` usually
+    means.  The reference-parity ``blipt5_mag_pruner`` above replicates
+    the reference's signed scoring verbatim; use this variant when you
+    want the conventional semantics rather than bit-parity."""
+
+    pruner_name = "blipt5_absmag_pruner"
+
+    def compute_importance(self, variables, keys, batches):
+        p = variables["params"]
+        return {"/".join(k):
+                jnp.abs(_tree_get(p, k)["kernel"].astype(jnp.float32))
+                for k in keys}
 
 
 @registry.register_pruner("blipt5_rand_pruner")

@@ -24,6 +24,32 @@ from vlm_compression_tpu.ops.sparsegpt import sparsegpt_prune
 from vlm_compression_tpu.ops.stats import finalize_hessian
 
 
+def _make_throttle():
+    """(throttle, enqueue) pair bounding in-flight OBS/GPTQ solves.
+
+    Bounded in-flight window instead of a hard sync per group: each OBS
+    solve holds H + Hinv + fp32 weight copies (~0.5 GB on XL FFN shapes),
+    so unbounded queueing OOMs a 16 GB chip — but a FULL sync per group
+    idles the device for a host round-trip (+ the next group's stacking
+    dispatches) ~350 times per XL sweep.  The default window of 2 keeps
+    the device fed while bounding transient memory (4 measured to regress
+    6× from HBM pressure — see BENCH_NOTES); the deque persists across
+    blocks (the engine memoizes each mask fn per tower), so the NEXT
+    block's stats fold also overlaps the previous block's tail solves.
+    ``VCT_OBS_INFLIGHT`` overrides the window."""
+    import collections
+    import os
+
+    inflight = collections.deque()
+    window = max(1, int(os.environ.get("VCT_OBS_INFLIGHT", "2")))
+
+    def throttle():
+        while len(inflight) >= window:
+            jax.block_until_ready(inflight.popleft())
+
+    return throttle, inflight.append
+
+
 def wanda_mask_fn(prune_n: int = 0, prune_m: int = 0,
                   flat_threshold: bool = False, metric: str = "wanda",
                   ria_alpha: float = 0.5, hybrid_tile: int = 0):
@@ -72,20 +98,10 @@ def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
     from vlm_compression_tpu.ops.sparsegpt import (sparsegpt_prune,
                                                    sparsegpt_prune_batched)
 
-    import collections
     import os
     import time
 
-    # Bounded in-flight window instead of a hard sync per group: each OBS
-    # solve holds H + Hinv + fp32 weight copies (~0.5 GB on XL FFN shapes),
-    # so unbounded queueing OOMs a 16 GB chip — but a FULL sync per group
-    # idles the device for a host round-trip (+ the next group's stacking
-    # dispatches) ~350 times per XL sweep.  A window of 2 keeps the device
-    # fed while bounding transient memory; the deque persists across blocks
-    # (the engine memoizes this fn per tower), so the NEXT block's stats
-    # fold also overlaps the previous block's tail solves.
-    inflight = collections.deque()
-    window = max(1, int(os.environ.get("VCT_OBS_INFLIGHT", "2")))
+    throttle, enqueue = _make_throttle()
 
     def fn(kernels, stats, sparsities):
         dbg = os.environ.get("VCT_DEBUG_TIMING")
@@ -98,9 +114,10 @@ def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
                               []).append(p)
         masks, new_k, imps = {}, {}, {}
         for (shape, sp), paths in groups.items():
+            throttle()
+            # t0 AFTER the throttle wait so dbg lines time THIS group's
+            # stack/dispatch(+sync), not a previous group's in-flight tail
             t0 = time.perf_counter()
-            while len(inflight) >= window:
-                jax.block_until_ready(inflight.popleft())
             if len(paths) == 1:
                 # vmap costs up to 5× on a single member (batched
                 # gathers/slices degrade); call the plain program
@@ -115,7 +132,7 @@ def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
                 res = sparsegpt_prune_batched(
                     ws, hs, sp, prune_n=prune_n, prune_m=prune_m,
                     blocksize=blocksize, percdamp=percdamp)
-            inflight.append(res.weight)
+            enqueue(res.weight)
             if dbg:
                 jax.block_until_ready(res.weight)
                 print(f"      [dbg] obs G={len(paths)} {shape} "
@@ -226,16 +243,7 @@ def gptq_fn(prune_n: int = 0, prune_m: int = 0, bits: int = 4,
     from vlm_compression_tpu.ops.gptq import (gptq_quantize,
                                               gptq_quantize_batched)
 
-    import collections
-    import os
-
-    # bounded in-flight window — same rationale as sparsegpt_mask_fn
-    inflight = collections.deque()
-    window = max(1, int(os.environ.get("VCT_OBS_INFLIGHT", "2")))
-
-    def _throttle():
-        while len(inflight) >= window:
-            jax.block_until_ready(inflight.popleft())
+    _throttle, _enqueue = _make_throttle()
 
     def fn(kernels, stats, sparsities):
         groups = {}
@@ -272,7 +280,7 @@ def gptq_fn(prune_n: int = 0, prune_m: int = 0, bits: int = 4,
                     wsc, hsc = jax.vmap(apply_awq)(ws, hs, sc.s)
                     res = gptq_quantize_batched(wsc, hsc, **kw)
                     s_all = sc.s
-                inflight.append(res.weight)
+                _enqueue(res.weight)
                 for i, p in enumerate(paths):
                     masks[p] = res.keep_mask[i].T
                     new_k[p] = unscale_weight(
@@ -289,7 +297,7 @@ def gptq_fn(prune_n: int = 0, prune_m: int = 0, bits: int = 4,
                 ws = jnp.stack([kernels[p].T for p in paths])
                 hs = jnp.stack([finalize_hessian(stats[p]) for p in paths])
                 res = gptq_quantize_batched(ws, hs, **kw)
-            inflight.append(res.weight)
+            _enqueue(res.weight)
             for i, p in enumerate(paths):
                 masks[p] = res.keep_mask[i].T
                 new_k[p] = res.weight[i].T

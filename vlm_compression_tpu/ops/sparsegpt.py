@@ -180,9 +180,10 @@ _FACTOR_IMPL = _os.environ.get("VCT_OBS_FACTOR", "rolled")
 
 # Unstructured-sweep substitution: "panel" (default) = S-wide panels with
 # an unrolled in-panel recursion; "serial" = per-column recursion (A/B
-# and odd-shape fallback).  VCT_OBS_PANEL sets S (default 16).
+# and odd-shape fallback).  VCT_OBS_PANEL sets S (default 16; <= 1
+# disables panels, same as VCT_OBS_SUBST=serial).
 _SUBST_IMPL = _os.environ.get("VCT_OBS_SUBST", "panel")
-_SUBST_S = int(_os.environ.get("VCT_OBS_PANEL", "16"))
+_SUBST_S = max(1, int(_os.environ.get("VCT_OBS_PANEL", "16")))
 
 
 def damped_cholesky(h: jnp.ndarray, damp: jnp.ndarray, max_tries: int = 32) -> jnp.ndarray:
@@ -471,7 +472,8 @@ def _sparsegpt_prune_impl(
             pr = prune1.astype(jnp.float32)                      # (units, B)
             wp = W1 * pr
 
-            S = _SUBST_S if (B % _SUBST_S == 0 and B > _SUBST_S
+            S = _SUBST_S if (_SUBST_S > 1
+                             and B % _SUBST_S == 0 and B > _SUBST_S
                              and _SUBST_IMPL != "serial") else 0
             if S:
                 def panel(j, x):
@@ -496,13 +498,13 @@ def _sparsegpt_prune_impl(
                     # matvec) per column — measured 14.5 µs/serial step,
                     # ~60% of the XL OBS sweep.
                     acc = rhs
-                    cols = []
+                    xcols = []
                     for c in range(S):
                         xc = acc[:, c] / dp[c]
-                        cols.append(xc)
+                        xcols.append(xc)
                         if c + 1 < S:
                             acc = acc - prp * (xc[:, None] * upp[c][None, :])
-                    xp = jnp.stack(cols, axis=1)
+                    xp = jnp.stack(xcols, axis=1)
                     return jax.lax.dynamic_update_slice(x, xp, (0, i))
 
                 x = jax.lax.fori_loop(
