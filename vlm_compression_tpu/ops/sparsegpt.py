@@ -17,16 +17,28 @@ Re-derivation of the reference's ``SparseGPT.fasterprune``
     one masked MXU matmul per block.
 
 Layout: unit-major ``(units, in)``; the Hessian is ``(in, in)``.
-All math fp32 (matches reference `.float()` casts).
+All math fp32 (matches reference `.float()` casts).  Matmul precision is
+``VCT_OBS_PRECISION`` (default ``highest`` = full fp32, the reference's
+semantics; ``high`` = bf16_3x — ~2x the MXU rate of the 6-pass fp32
+emulation on TPU, ~2^-21 relative product error vs fp32's 2^-24 — for
+deployments that trade the last three mantissa bits for OBS wall-clock;
+CPU ignores the setting, so golden/parity tests are unaffected).
 """
 
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[_os.environ.get("VCT_OBS_PRECISION", "highest").lower()]
 
 
 def _bisect_quantile(h: jnp.ndarray, q: float, iters: int = 45) -> jnp.ndarray:
@@ -93,7 +105,7 @@ def _cholesky_rolled(h: jnp.ndarray, panel: int = 128) -> jnp.ndarray:
     rows = jnp.arange(n)
     mm = functools.partial(jax.lax.dot_general,
                            dimension_numbers=(((1,), (0,)), ((), ())),
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=_PRECISION)
 
     def body(j, a):
         i = j * panel
@@ -131,7 +143,7 @@ def _trsm_right_lower_t(a: jnp.ndarray, L: jnp.ndarray,
     k = L.shape[0]
     mm = functools.partial(jax.lax.dot_general,
                            dimension_numbers=(((1,), (1,)), ((), ())),
-                           precision=jax.lax.Precision.HIGHEST)  # A·Bᵀ
+                           precision=_PRECISION)  # A·Bᵀ
     if k <= base or k % 128 != 0:
         return mm(a, _tri_inverse_lower_level_batched(L)
                   if k > 128 else _tri_inverse_lower(L))
@@ -162,7 +174,7 @@ def _cholesky_dc(h: jnp.ndarray, base: int = _DC_BASE) -> jnp.ndarray:
     L21 = _trsm_right_lower_t(A21, L11, base)
     S = A22 - jax.lax.dot_general(
         L21, L21, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)
+        precision=_PRECISION)
     L22 = _cholesky_dc(S, base)
     top = jnp.concatenate([L11, jnp.zeros((n1, n - n1), h.dtype)], axis=1)
     return jnp.concatenate([top, jnp.concatenate([L21, L22], axis=1)], axis=0)
@@ -226,7 +238,7 @@ def _tri_inverse_lower(L: jnp.ndarray) -> jnp.ndarray:
     T = jnp.tril(L, k=-1) / d[:, None]
     mm = functools.partial(jax.lax.dot_general,
                            dimension_numbers=(((1,), (0,)), ((), ())),
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=_PRECISION)
     steps = max(1, (n - 1).bit_length())
 
     def body(_, c):
@@ -251,7 +263,7 @@ def _tri_inverse_lower_blocked(L: jnp.ndarray, panel: int = 128
         return _tri_inverse_lower(L)
     mm = functools.partial(jax.lax.dot_general,
                            dimension_numbers=(((1,), (0,)), ((), ())),
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=_PRECISION)
     eye_p = jnp.eye(panel, dtype=L.dtype)
 
     def body(j, x):
@@ -284,7 +296,7 @@ def _tri_inverse_lower_dc(L: jnp.ndarray, base: int = _DC_BASE
     ci = _tri_inverse_lower_dc(Lc, base)
     mm = functools.partial(jax.lax.dot_general,
                            dimension_numbers=(((1,), (0,)), ((), ())),
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=_PRECISION)
     off = -mm(ci, mm(Lb, ai))
     top = jnp.concatenate([ai, jnp.zeros((n1, n - n1), L.dtype)], axis=1)
     return jnp.concatenate([top, jnp.concatenate([off, ci], axis=1)], axis=0)
@@ -320,7 +332,7 @@ def _tri_inverse_lower_level_batched(L: jnp.ndarray) -> jnp.ndarray:
 
     bmm = functools.partial(jax.lax.dot_general,
                             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=_PRECISION)
     s = leaf
     while s < n:
         p = n // (2 * s)                             # aligned pairs
@@ -346,7 +358,7 @@ def _cholesky_inverse(chol_lower: jnp.ndarray) -> jnp.ndarray:
         linv = _tri_inverse_lower_blocked(chol_lower, panel or 128)
     return jax.lax.dot_general(
         linv, linv, (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)
+        precision=_PRECISION)
 
 
 class SparseGPTResult(NamedTuple):
@@ -483,7 +495,7 @@ def _sparsegpt_prune_impl(
                     rhs = (jax.lax.dynamic_slice(wp, (0, i), (units, S))
                            - prp * jnp.dot(
                                x, ucols,
-                               precision=jax.lax.Precision.HIGHEST))
+                               precision=_PRECISION))
                     upp = jnp.triu(
                         jax.lax.dynamic_slice(Hinv1, (i, i), (S, S)), k=1)
                     dp = jax.lax.dynamic_slice(d1, (i,), (S,))
@@ -514,7 +526,7 @@ def _sparsegpt_prune_impl(
                     u_col = jax.lax.dynamic_slice(strict_u, (0, i), (B, 1))
                     s = jnp.dot(
                         x, u_col,
-                        precision=jax.lax.Precision.HIGHEST)  # (units,1)
+                        precision=_PRECISION)  # (units,1)
                     num = jax.lax.dynamic_slice(wp, (0, i), (units, 1)) - s
                     pi = jax.lax.dynamic_slice(pr, (0, i), (units, 1))
                     di = jax.lax.dynamic_slice(d1, (i,), (1,))
@@ -526,7 +538,7 @@ def _sparsegpt_prune_impl(
             Err1 = x
             Q1 = jnp.where(prune1, 0.0,
                            W1 - jnp.dot(x, strict_u,
-                                        precision=jax.lax.Precision.HIGHEST))
+                                        precision=_PRECISION))
             L1 = x * x
             W = jax.lax.dynamic_update_slice(W, Q1, (0, i1))
             losses = losses + jnp.sum(L1, axis=1) / 2.0
