@@ -37,6 +37,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# Full-fp32 matmuls: this host's XLA CPU backend runs DEFAULT-precision
+# f32 dots through a reduced-precision fast path (measured 1.1e-3 relative
+# error on a 68×16 gram matrix vs 1e-7 at HIGHEST).  The reference
+# framework is exact-fp32 torch; parity suites compare against it at
+# fp32-tie tolerances, so the whole suite pins HIGHEST.  (The TPU bench
+# path intentionally keeps bf16 MXU matmuls for the model forwards —
+# parity-critical compression math pins its own precision: ops/stats.py
+# Hessian fold, ops/sparsegpt.py VCT_OBS_PRECISION.)
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import pytest  # noqa: E402
 
 

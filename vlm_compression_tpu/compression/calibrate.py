@@ -324,6 +324,7 @@ def calibrate_and_prune_tower(
     progress: Optional[Callable[[str], None]] = None,
     warm_thread=None,
     return_outputs: bool = False,
+    stats_sink: Optional[dict] = None,
 ) -> dict:
     """Run the layer sweep; returns updated `variables` (masks + kernels).
 
@@ -449,6 +450,23 @@ def calibrate_and_prune_tower(
         kernels = {p: tree_get(bparams, p)["kernel"] for p in lpaths}
         skeys = {p: "/".join(adapter.subtree + (bname,) + p) for p in lpaths}
         sparsities = {p: sparsity_for(skeys[p]) for p in lpaths}
+        if stats_sink is not None:
+            # test/debug hook: pre-mask kernel + Wanda input statistic per
+            # linear, so parity tests can evaluate the importance METRIC at
+            # mask positions that differ from the reference (tie-flip
+            # doctrine: flipped bits must be genuine metric ties, not
+            # systematic drift).  numpy copies — nothing device-side pinned.
+            import numpy as _np
+
+            from vlm_compression_tpu.ops.stats import finalize_hessian
+
+            for p in lpaths:
+                stats_sink[skeys[p]] = (
+                    _np.asarray(kernels[p]),
+                    _np.asarray(stats[p].scaler_row),
+                    (_np.asarray(finalize_hessian(stats[p]))
+                     if stats[p].hessian is not None else None),
+                )
         result = mask_fn(kernels=kernels, stats=stats, sparsities=sparsities)
         if _dbg:
             jax.block_until_ready(result.masks)

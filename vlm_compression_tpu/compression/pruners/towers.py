@@ -129,6 +129,7 @@ class _MethodMixin:
             progress=logging.info,
             warm_thread=warm_thread or getattr(self, "_prewarm_thread", None),
             return_outputs=return_outputs,
+            stats_sink=getattr(self, "_stats_sink", None),
         )
 
 
@@ -252,6 +253,18 @@ class BlipT5PrunerBase(_MethodMixin, LayerWisePrunerBase):
         # reference wanda_pruner.py:876-881: only params under the t5/vit
         # prefixes take part in sparsity allocation (Q-Former excluded)
         return (self.vit_model_prefix, self.t5_model_prefix)
+
+    @staticmethod
+    def trans_sparsity(vit_params, t5_params, vit_keep_ratio, t5_keep_ratio):
+        """V↔L keep-budget transfer: reinterpret each tower's keep ratio as
+        a share of the JOINT parameter budget split evenly between towers,
+        clamped at fully dense (reference dsnot_pruner.py:1873-1878 —
+        defined there but never invoked; kept for API parity)."""
+        total = vit_params + t5_params
+        vit_keep_params = total * vit_keep_ratio / 2
+        t5_keep_params = total * t5_keep_ratio / 2
+        return (min(vit_keep_params / vit_params, 1.0),
+                min(t5_keep_params / t5_params, 1.0))
 
     def _prewarm_adapters(self):
         """Adapters with the non-chained stems: stems are only

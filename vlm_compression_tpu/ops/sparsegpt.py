@@ -34,11 +34,30 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-_PRECISION = {
+_PRECISION_NAMES = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
-}[_os.environ.get("VCT_OBS_PRECISION", "highest").lower()]
+}
+
+
+def _resolve_precision() -> jax.lax.Precision:
+    raw = _os.environ.get("VCT_OBS_PRECISION", "highest").lower()
+    if raw not in _PRECISION_NAMES:
+        import warnings
+
+        warnings.warn(
+            f"VCT_OBS_PRECISION={raw!r} is not one of "
+            f"{sorted(_PRECISION_NAMES)}; falling back to 'highest' "
+            "(full fp32, the reference's semantics). Use 'high' for the "
+            "bf16_3x OBS linalg mode.",
+            stacklevel=2,
+        )
+        raw = "highest"
+    return _PRECISION_NAMES[raw]
+
+
+_PRECISION = _resolve_precision()
 
 
 def _bisect_quantile(h: jnp.ndarray, q: float, iters: int = 45) -> jnp.ndarray:

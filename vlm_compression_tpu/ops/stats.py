@@ -108,10 +108,19 @@ def update_calib_stats(stats: CalibStats, x: jnp.ndarray,
         hessian=None,
     )
     if stats.hessian is not None:
-        # Σ XᵀX — one MXU matmul per update; fp32 accumulate.
+        # Σ XᵀX — one MXU matmul per update.  Precision pinned (default
+        # HIGHEST, shared VCT_OBS_PRECISION knob): DEFAULT-precision f32
+        # dots go through reduced-precision fast paths (~1e-3 relative on
+        # TPU and on this CPU backend's oneDNN), which systematically
+        # perturbs every OBS Hessian off-diagonal vs the reference's fp32
+        # torch.matmul — measured 2.7e-4 relative H error flipping up to
+        # 33% of SparseGPT mask bits on correlated inputs (round 5).
+        from vlm_compression_tpu.ops.sparsegpt import _PRECISION
+
         h = stats.hessian + jax.lax.dot_general(
             flat, flat, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_PRECISION,
         )
         new = new._replace(hessian=h)
     return new
