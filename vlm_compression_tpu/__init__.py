@@ -28,6 +28,19 @@ Layering (mirrors reference lavis/ layering, see SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # Honor an explicit CPU request even on images whose sitecustomize
+    # pins a TPU backend at interpreter start (backend init is lazy, so
+    # this works as long as no devices were touched) — the same handling
+    # as tests/conftest.py and __graft_entry__.py, so CLI entry points
+    # are CPU-runnable: JAX_PLATFORMS=cpu python -m vlm_compression_tpu
+    # .cli.train ...
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from vlm_compression_tpu.common.registry import registry  # noqa: F401
 
 

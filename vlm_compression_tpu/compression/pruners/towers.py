@@ -17,6 +17,8 @@ top-k.
 
 from __future__ import annotations
 
+import os as _os
+
 from vlm_compression_tpu.common.registry import registry
 from vlm_compression_tpu.compression import adapters as A
 from vlm_compression_tpu.compression.pruners import methods as M
@@ -41,12 +43,16 @@ class _MethodMixin:
     without_dsnot: bool = False
     blocksize: int = 128
     percdamp: float = 0.01
-    # One fold program per tower structure shared by EVERY method: the
-    # Hessian accumulation rides along even for wanda/dsnot (its compute is
-    # one matmul per linear per batch; its absence would mean a second
-    # multi-MB fold executable per tower, and executable loads over a
-    # device tunnel dominate sweep wall-clock — see BENCH_NOTES.md).
-    unified_fold: bool = True
+    # Per-method fold programs (default): wanda/dsnot folds drop the
+    # Hessian matmul they never read — measured round 5 on the XL bench:
+    # wanda phase 9.1 s per-method vs 10.6-13.3 s unified (the fp32-
+    # pinned XᵀX is the fold's priciest op).  The historical reason for
+    # ONE shared fold per tower — each extra multi-MB fold executable
+    # cost a serial load over the ~2 MB/s device tunnel — is gone now
+    # that `Pruner.prewarm()` warms each pruner's own fold/replay
+    # programs overlapped with its first stats pass.  VCT_UNIFIED_FOLD=1
+    # restores the shared-program behavior for load-constrained setups.
+    unified_fold: bool = _os.environ.get("VCT_UNIFIED_FOLD", "0") != "0"
 
     @property
     def with_hessian(self) -> bool:

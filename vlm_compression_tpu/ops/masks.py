@@ -13,8 +13,60 @@ Semantics match the reference bit-for-bit at fp32 (wanda_pruner.py:323-341):
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
+
+# Rank-selection implementation.  "bisect" (default): per-row value-space
+# bisection finds the k-th smallest metric, then a cumsum over the tied
+# values reproduces the stable lowest-index-first tie order — no sort.
+# Measured on-chip (round 5, XL shapes): 1.2-2.8x faster than the double
+# stable argsort, bit-identical masks; the wanda phase's mask kernels were
+# its largest component (~6 of 9.6 s).  "sort" restores the argsort path
+# (the reference's literal formulation) for A/B.
+_RANK_IMPL = _os.environ.get("VCT_MASK_IMPL", "bisect")
+
+
+def _kth_smallest_rows(metric: jnp.ndarray, k, iters: int = 45) -> jnp.ndarray:
+    """Per-row k-th smallest value (1-indexed k) by value-space bisection.
+
+    45 rolled halvings of [row_min, row_max] converge below fp32 ulp for
+    any realistic metric range (same doctrine as sparsegpt._bisect_quantile
+    — and unlike jnp.sort, the lowering is KB-scale HLO and the runtime is
+    bandwidth-, not sort-network-, bound).  ±inf metric entries would stall
+    the interval; callers with possibly-infinite metrics should use
+    VCT_MASK_IMPL=sort."""
+    lo = jnp.min(metric, axis=-1)
+    hi = jnp.max(metric, axis=-1)
+
+    def body(_, c):
+        lo, hi = c
+        mid = 0.5 * (lo + hi)
+        enough = jnp.sum(metric <= mid[:, None], axis=-1) >= k
+        return jnp.where(enough, lo, mid), jnp.where(enough, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    # SNAP to an actual metric value: fp midpoint rounding can leave `hi`
+    # one ulp past the true k-th smallest.  After convergence the interval
+    # (lo, hi] isolates at most one distinct value, so the k-th smallest
+    # is either lo itself (when ≥ k values already sit at/below lo — e.g.
+    # a fully-tied row, or k = 0) or the smallest value above lo.
+    cnt_lo = jnp.sum(metric <= lo[:, None], axis=-1)
+    above = jnp.min(jnp.where(metric > lo[:, None], metric,
+                              jnp.asarray(jnp.inf, metric.dtype)), axis=-1)
+    return jnp.where(cnt_lo >= k, lo, above)
+
+
+def _prune_k_smallest_stable(metric: jnp.ndarray, k) -> jnp.ndarray:
+    """Keep-mask pruning the k smallest per row, ties by LOWEST index
+    first (= stable-ascending-sort semantics), without sorting."""
+    t = _kth_smallest_rows(metric, k)[:, None]
+    lt = metric < t
+    eq = metric == t
+    need = k - jnp.sum(lt, axis=-1, keepdims=True)
+    csum = jnp.cumsum(eq.astype(jnp.int32), axis=-1)
+    return ~(lt | (eq & (csum <= need)))
 
 
 def wanda_metric(weight_um: jnp.ndarray, scaler_row: jnp.ndarray) -> jnp.ndarray:
@@ -44,6 +96,8 @@ def unstructured_mask(metric: jnp.ndarray, sparsity, *,
         k = jnp.round(n_in * jnp.asarray(sparsity, jnp.float32)).astype(jnp.int32)
     else:
         raise ValueError(rounding)
+    if _RANK_IMPL == "bisect":
+        return _prune_k_smallest_stable(metric, k)
     rank = _stable_rank_ascending(metric, axis=-1)
     return rank >= k  # True = keep
 
@@ -65,6 +119,9 @@ def global_threshold_mask(metric: jnp.ndarray, sparsity: float) -> jnp.ndarray:
     """Keep-mask pruning the globally-smallest fraction of entries (flat)."""
     flat = metric.reshape(-1)
     k = jnp.floor(flat.shape[0] * jnp.asarray(sparsity, jnp.float32)).astype(jnp.int32)
+    if _RANK_IMPL == "bisect":
+        return _prune_k_smallest_stable(flat[None, :], k)[0].reshape(
+            metric.shape)
     rank = _stable_rank_ascending(flat, axis=0)
     return (rank >= k).reshape(metric.shape)
 
@@ -79,9 +136,14 @@ def flat_threshold_mask(metric: jnp.ndarray, sparsity) -> jnp.ndarray:
     wanda_pruner.py:682-684): thres = sorted_flat[int(numel·s)], prune
     strictly-below (`metric < thres` — ties at the threshold are KEPT,
     unlike SparseGPT's `<=`)."""
-    flat = jnp.sort(metric.reshape(-1))
     k = jnp.floor(metric.size * jnp.asarray(sparsity, jnp.float32)).astype(jnp.int32)
-    thres = flat[jnp.clip(k, 0, metric.size - 1)]
+    kc = jnp.clip(k, 0, metric.size - 1)
+    if _RANK_IMPL == "bisect":
+        # sorted_flat[kc] = the (kc+1)-th smallest value
+        thres = _kth_smallest_rows(metric.reshape(1, -1), kc + 1)[0]
+        return metric >= thres
+    flat = jnp.sort(metric.reshape(-1))
+    thres = flat[kc]
     return metric >= thres
 
 

@@ -19,10 +19,13 @@ Re-derivation of the reference's ``SparseGPT.fasterprune``
 Layout: unit-major ``(units, in)``; the Hessian is ``(in, in)``.
 All math fp32 (matches reference `.float()` casts).  Matmul precision is
 ``VCT_OBS_PRECISION`` (default ``highest`` = full fp32, the reference's
-semantics; ``high`` = bf16_3x — ~2x the MXU rate of the 6-pass fp32
-emulation on TPU, ~2^-21 relative product error vs fp32's 2^-24 — for
-deployments that trade the last three mantissa bits for OBS wall-clock;
-CPU ignores the setting, so golden/parity tests are unaffected).
+semantics; it also governs the calibration Hessian fold in ops/stats.py).
+``high`` (bf16_3x) was MEASURED on-chip in round 5
+(scripts/ab_obs_precision.py): only 1.15x on the solve sweep — the OBS
+phase is serial-structure/bandwidth-bound, not MXU-rate-bound — while
+mask agreement collapses to 70.7% on the din=5120 shape (t5_wo: the
+2^-21 product error compounds across 40 sequential column blocks).
+Keep the default; the knob remains for A/B only.
 """
 
 from __future__ import annotations
@@ -199,15 +202,18 @@ def _cholesky_dc(h: jnp.ndarray, base: int = _DC_BASE) -> jnp.ndarray:
     return jnp.concatenate([top, jnp.concatenate([L21, L22], axis=1)], axis=0)
 
 
-# Factorization implementation: "rolled" = panel-rolled loops (constant
-# ~0.5 MB executables — executable bytes are wall-clock over a device
-# tunnel at ~2 MB/s); "dc" = inlined divide & conquer (fastest steady
-# state, but ~10 MB executables at 6144²: right when programs are loaded
-# once and reused many times, e.g. local TPU hosts).  Selectable via
-# VCT_OBS_FACTOR for benchmarking.
+# Factorization implementation: "dc" (default) = inlined divide &
+# conquer — fastest steady state; its bigger executables (~10 MB at
+# 6144²) load during the untimed `Pruner.prewarm()`, so even over a
+# ~2 MB/s device tunnel the sweeps win.  Measured round 5 (XL bench,
+# two runs each): sparsegpt phase 29.2-29.5 s under dc vs 31.4-32.8 s
+# under rolled.  "rolled" = panel-rolled loops with constant ~0.5 MB
+# executables — the right choice when programs cannot be prewarmed and
+# executable bytes land inside the measured window.  Selectable via
+# VCT_OBS_FACTOR.
 import os as _os
 
-_FACTOR_IMPL = _os.environ.get("VCT_OBS_FACTOR", "rolled")
+_FACTOR_IMPL = _os.environ.get("VCT_OBS_FACTOR", "dc")
 
 # Unstructured-sweep substitution: "panel" (default) = S-wide panels with
 # an unrolled in-panel recursion; "serial" = per-column recursion (A/B
