@@ -47,7 +47,15 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--max_length", type=int, default=32)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--param_dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="weight dtype (default: f32 at base for "
+                         "comparability with earlier tables; bf16 at XL — "
+                         "the production serving configuration, and an "
+                         "fp32 3B tree plus the ceiling tier's zeroed "
+                         "copy exceeds one chip's HBM)")
     args = ap.parse_args()
+    param_dtype = args.param_dtype or ("bfloat16" if args.xl else "float32")
 
     from vlm_compression_tpu.models.generation import (
         GenerationConfig, t5_generate, t5_speculative_generate)
@@ -89,10 +97,14 @@ def main():
         return dt
 
     def build(kv_int8=False):
-        cfg = T5Config(**base, kv_cache_int8=kv_int8)
+        cfg = T5Config(**base, kv_cache_int8=kv_int8,
+                       param_dtype=param_dtype, dtype=param_dtype)
         model = T5ForConditionalGeneration(cfg)
+        # dense-mode init: no masks collection — an all-True bool tree
+        # costs another param-count of HBM (~2.9 GB at XL) for nothing on
+        # the serving path (bench.py does the same)
         params = model.init(jax.random.PRNGKey(0), ids, amask,
-                            jnp.zeros((b, 4), jnp.int32))
+                            jnp.zeros((b, 4), jnp.int32), mode="dense")
         return model, params
 
     model, params = build()
@@ -121,12 +133,28 @@ def main():
         T5Config as _T5C, T5ForConditionalGeneration as _T5M)
     dcfg_kw = dict(d_model=256, d_kv=64, d_ff=640, num_layers=4,
                    num_decoder_layers=4, num_heads=4,
-                   vocab_size=base.get("vocab_size", 32128))
+                   vocab_size=base.get("vocab_size", 32128),
+                   param_dtype=param_dtype, dtype=param_dtype)
+    # compiled XL while-loop programs occupy device memory; drop the
+    # main-tier executables before building the next tier's (observed:
+    # a trivial allocation OOMs after 5 XL tier compiles)
+    jax.clear_caches()
     draft = _T5M(_T5C(**dcfg_kw))
     dparams = draft.init(jax.random.PRNGKey(1), ids, amask,
-                         jnp.zeros((b, 4), jnp.int32))
-    zero = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)  # noqa: E731
+                         jnp.zeros((b, 4), jnp.int32), mode="dense")
+    # donate: zeroing reads nothing, so XLA reuses the input buffers —
+    # without donation the XL tree + its zeroed copy OOM one chip
+    zero = jax.jit(lambda t: jax.tree_util.tree_map(jnp.zeros_like, t),
+                   donate_argnums=0)
     zparams, zdparams = zero(params), zero(dparams)
+    if args.xl:
+        # the donated originals are gone and a fresh 3B init will not fit
+        # next to the zeroed tree; the int8 tiers below then run at
+        # ceiling acceptance (all-zero logits agree) — their TIMING is
+        # value-independent, which is what the tier measures
+        params, dparams = zparams, zdparams
+    else:
+        model, params = build()          # fresh real weights (cheap)
     t_greedy_z = timed("greedy (zeroed, ctl)", lambda: t5_generate(
         model, zparams, ids, amask, cfg=gcfg, mode="dense"))
     for gamma in (2, 4):
@@ -144,6 +172,7 @@ def main():
         print(f"    accepted/round={acc:.2f}  CEILING speedup vs greedy: "
               f"{t_greedy_z/t:.2f}x", flush=True)
 
+    jax.clear_caches()
     model8, params8 = build(kv_int8=True)
     timed("greedy + int8 KV", lambda: t5_generate(
         model8, params8, ids, amask, cfg=gcfg, mode="dense"))
@@ -167,7 +196,8 @@ def main():
         # accepted prefix instead of the batch minimum — pays off exactly
         # when rows disagree with the draft, which int8 drafts cause
         model_pr = T5ForConditionalGeneration(
-            T5Config(**base, kv_cache_per_row=True))
+            T5Config(**base, kv_cache_per_row=True,
+                     param_dtype=param_dtype, dtype=param_dtype))
         for gamma in (4,):
             _, _, stats = t5_speculative_generate(
                 model_pr, params, ids, amask, cfg=gcfg, gamma=gamma,

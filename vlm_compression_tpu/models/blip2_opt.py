@@ -100,8 +100,37 @@ def generate_opt(model: Blip2OPT, variables, image, prompt_input_ids,
     )
     from vlm_compression_tpu.models.llama import make_causal_step
 
+    from vlm_compression_tpu.models.generation import _jit_entry
+
     cfg = model.cfg
     gen_cfg = gen_cfg or GenerationConfig(eos_token_id=2, pad_token_id=1)
+
+    fn = _jit_entry(
+        ("blip2_opt_generate", model, gen_cfg, vit_mode, llm_mode,
+         qformer_mode, speculative_gamma, draft_llm_mode),
+        lambda: lambda variables, image, prompt_input_ids,
+        prompt_attention_mask, rng: _generate_opt_body(
+            model, cfg, gen_cfg, vit_mode, llm_mode, qformer_mode,
+            speculative_gamma, draft_llm_mode, variables, image,
+            prompt_input_ids, prompt_attention_mask, rng))
+    return fn(variables, image, prompt_input_ids, prompt_attention_mask,
+              rng)
+
+
+def _generate_opt_body(model, cfg, gen_cfg, vit_mode, llm_mode,
+                       qformer_mode, speculative_gamma, draft_llm_mode,
+                       variables, image, prompt_input_ids,
+                       prompt_attention_mask, rng):
+    import dataclasses as _dc
+
+    import jax.numpy as jnp  # noqa: F811
+
+    from vlm_compression_tpu.models.generation import (
+        beam_search,
+        greedy_generate,
+        speculative_generate,
+    )
+    from vlm_compression_tpu.models.llama import make_causal_step
 
     prefix = model.apply(variables, image, vit_mode, qformer_mode,
                          method=Blip2OPT.encode_image)

@@ -221,6 +221,7 @@ def generate_t5(model: "Blip2T5Instruct", variables, image, input_ids,
 
     from vlm_compression_tpu.models.generation import (
         GenerationConfig,
+        _jit_entry,
         beam_search,
         greedy_generate,
         make_t5_step,
@@ -232,38 +233,53 @@ def generate_t5(model: "Blip2T5Instruct", variables, image, input_ids,
         num_beams=5, max_length=30, min_length=1,
         decoder_start_token_id=cfg.t5.decoder_start_token_id,
         pad_token_id=cfg.t5.pad_token_id, eos_token_id=1)
-    enc, enc_mask = model.apply(
-        variables, image, input_ids, attention_mask,
-        qformer_input_ids, qformer_attention_mask,
-        vit_mode, llm_mode, qformer_mode,
-        method=Blip2T5Instruct.encode_multimodal)
-    b = enc.shape[0]
-    from vlm_compression_tpu.models.t5 import T5ForConditionalGeneration
 
-    t5 = T5ForConditionalGeneration(cfg.t5)
-    t5_vars = {coll: tree["t5_model"] for coll, tree in variables.items()
-               if isinstance(tree, dict) and "t5_model" in tree}
-    k = gen_cfg.num_beams
-    if k > 1:
-        enc_t = jnp.repeat(enc, k, axis=0)
-        mask_t = jnp.repeat(enc_mask, k, axis=0)
-        step, cache = make_t5_step(t5, t5_vars, enc_t, mask_t, llm_mode,
-                                   gen_cfg.max_length)
-        seqs, _ = beam_search(step, cache, b, gen_cfg)
-        return seqs
-    if speculative_gamma > 0:
-        # greedy: token-identical to llm_mode greedy; do_sample: exact
-        # samples from the llm_mode nucleus distribution (rejection rule)
-        max_len = gen_cfg.max_length + speculative_gamma + 1
-        dstep, dcache = make_t5_step(t5, t5_vars, enc, enc_mask,
-                                     draft_llm_mode, max_len)
-        tstep, tcache = make_t5_step(t5, t5_vars, enc, enc_mask, llm_mode,
-                                     max_len)
-        seqs, _, _ = speculative_generate(dstep, dcache, tstep, tcache, b,
-                                          gen_cfg, gamma=speculative_gamma,
-                                          rng=rng)
-        return seqs
-    step, cache = make_t5_step(t5, t5_vars, enc, enc_mask, llm_mode,
-                               gen_cfg.max_length)
-    seqs, _ = greedy_generate(step, cache, b, gen_cfg, rng)
-    return seqs
+    def make():
+        def run(variables, image, input_ids, attention_mask,
+                qformer_input_ids, qformer_attention_mask, rng):
+            enc, enc_mask = model.apply(
+                variables, image, input_ids, attention_mask,
+                qformer_input_ids, qformer_attention_mask,
+                vit_mode, llm_mode, qformer_mode,
+                method=Blip2T5Instruct.encode_multimodal)
+            b = enc.shape[0]
+            from vlm_compression_tpu.models.t5 import (
+                T5ForConditionalGeneration,
+            )
+
+            t5 = T5ForConditionalGeneration(cfg.t5)
+            t5_vars = {coll: tree["t5_model"]
+                       for coll, tree in variables.items()
+                       if isinstance(tree, dict) and "t5_model" in tree}
+            k = gen_cfg.num_beams
+            if k > 1:
+                enc_t = jnp.repeat(enc, k, axis=0)
+                mask_t = jnp.repeat(enc_mask, k, axis=0)
+                step, cache = make_t5_step(t5, t5_vars, enc_t, mask_t,
+                                           llm_mode, gen_cfg.max_length)
+                seqs, _ = beam_search(step, cache, b, gen_cfg)
+                return seqs
+            if speculative_gamma > 0:
+                # greedy: token-identical to llm_mode greedy; do_sample:
+                # exact samples from the llm_mode nucleus distribution
+                max_len = gen_cfg.max_length + speculative_gamma + 1
+                dstep, dcache = make_t5_step(t5, t5_vars, enc, enc_mask,
+                                             draft_llm_mode, max_len)
+                tstep, tcache = make_t5_step(t5, t5_vars, enc, enc_mask,
+                                             llm_mode, max_len)
+                seqs, _, _ = speculative_generate(
+                    dstep, dcache, tstep, tcache, b, gen_cfg,
+                    gamma=speculative_gamma, rng=rng)
+                return seqs
+            step, cache = make_t5_step(t5, t5_vars, enc, enc_mask,
+                                       llm_mode, gen_cfg.max_length)
+            seqs, _ = greedy_generate(step, cache, b, gen_cfg, rng)
+            return seqs
+
+        return run
+
+    fn = _jit_entry(
+        ("blip2_t5_generate", model, gen_cfg, vit_mode, llm_mode,
+         qformer_mode, speculative_gamma, draft_llm_mode), make)
+    return fn(variables, image, input_ids, attention_mask,
+              qformer_input_ids, qformer_attention_mask, rng)

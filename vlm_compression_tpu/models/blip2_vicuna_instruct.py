@@ -150,10 +150,42 @@ def generate_vicuna(model: Blip2VicunaInstruct, variables, image,
     """InstructBLIP-Vicuna generate (reference :259-379): image prefix +
     left-padded prompt prime the KV cache; the last prompt token seeds the
     loop; beam or greedy/nucleus decode over the llm_model subtree."""
+    from vlm_compression_tpu.models.generation import _jit_entry
+
     cfg = model.cfg
     gen_cfg = gen_cfg or GenerationConfig(
         eos_token_id=cfg.llm.eos_token_id, pad_token_id=cfg.llm.pad_token_id)
 
+    fn = _jit_entry(
+        ("blip2_vicuna_generate", model, gen_cfg, vit_mode, llm_mode,
+         qformer_mode, speculative_gamma, draft_llm_mode),
+        lambda: _generate_vicuna_impl(model, gen_cfg, vit_mode, llm_mode,
+                                      qformer_mode, speculative_gamma,
+                                      draft_llm_mode))
+    return fn(variables, image, prompt_input_ids, prompt_attention_mask,
+              qformer_input_ids, qformer_attention_mask, rng)
+
+
+def _generate_vicuna_impl(model, gen_cfg, vit_mode, llm_mode, qformer_mode,
+                          speculative_gamma, draft_llm_mode):
+    cfg = model.cfg
+
+    def run(variables, image, prompt_input_ids, prompt_attention_mask,
+            qformer_input_ids, qformer_attention_mask, rng):
+        return _generate_vicuna_body(
+            model, cfg, gen_cfg, vit_mode, llm_mode, qformer_mode,
+            speculative_gamma, draft_llm_mode, variables, image,
+            prompt_input_ids, prompt_attention_mask, qformer_input_ids,
+            qformer_attention_mask, rng)
+
+    return run
+
+
+def _generate_vicuna_body(model, cfg, gen_cfg, vit_mode, llm_mode,
+                          qformer_mode, speculative_gamma, draft_llm_mode,
+                          variables, image, prompt_input_ids,
+                          prompt_attention_mask, qformer_input_ids,
+                          qformer_attention_mask, rng):
     prefix = model.apply(variables, image, vit_mode, qformer_input_ids,
                          qformer_attention_mask, qformer_mode,
                          method=Blip2VicunaInstruct.encode_image)

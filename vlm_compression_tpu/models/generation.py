@@ -46,6 +46,24 @@ class GenerationConfig:
     do_sample: bool = False
 
 
+# Jit cache for the public generate entry points, keyed by every static
+# ingredient (model — flax modules hash by their config fields —,
+# GenerationConfig (frozen), modes, gamma).  WITHOUT this, each call
+# re-traces the whole tower on the host: measured 2.74 s/call eager vs
+# 25 ms jitted at T5-base decode (108×) — the decode step itself runs at
+# ~83% of HBM peak once compiled, so the eager path was ~99% Python.
+# jax.jit's own cache further keys on argument shapes/pytree structure
+# (None vs array operands compile separately, as they must).
+_JIT_GEN_CACHE: dict = {}
+
+
+def _jit_entry(key, make):
+    fn = _JIT_GEN_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_GEN_CACHE[key] = jax.jit(make())
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # logits processors
 # ---------------------------------------------------------------------------
@@ -292,26 +310,38 @@ def make_t5_step(model, variables, enc_out, enc_mask, mode: str = "masked",
 def t5_generate(model, variables, input_ids=None, attention_mask=None,
                 inputs_embeds=None, cfg: Optional[GenerationConfig] = None,
                 mode: str = "masked", rng=None):
-    """Full encode→decode generate for a bare T5 (HF .generate parity)."""
+    """Full encode→decode generate for a bare T5 (HF .generate parity).
+
+    Jit-cached per (model, cfg, mode): repeat calls dispatch one compiled
+    program (see _JIT_GEN_CACHE)."""
     cfg = cfg or GenerationConfig(
         decoder_start_token_id=model.cfg.decoder_start_token_id,
         pad_token_id=model.cfg.pad_token_id)
-    enc_out = model.apply(
-        variables, input_ids, inputs_embeds, attention_mask, mode,
-        method=model.encode)
-    b = enc_out.shape[0]
-    if cfg.num_beams > 1:
-        enc_out_t = jnp.repeat(enc_out, cfg.num_beams, axis=0)
-        mask_t = (jnp.repeat(attention_mask, cfg.num_beams, axis=0)
-                  if attention_mask is not None else None)
-        step, cache = make_t5_step(model, variables, enc_out_t, mask_t,
-                                   mode, cfg.max_length)
-        seqs, scores = beam_search(step, cache, b, cfg)
-        return seqs
-    step, cache = make_t5_step(model, variables, enc_out, attention_mask,
-                               mode, cfg.max_length)
-    seqs, _ = greedy_generate(step, cache, b, cfg, rng)
-    return seqs
+
+    def make():
+        def run(variables, input_ids, attention_mask, inputs_embeds, rng):
+            enc_out = model.apply(
+                variables, input_ids, inputs_embeds, attention_mask, mode,
+                method=model.encode)
+            b = enc_out.shape[0]
+            if cfg.num_beams > 1:
+                enc_out_t = jnp.repeat(enc_out, cfg.num_beams, axis=0)
+                mask_t = (jnp.repeat(attention_mask, cfg.num_beams, axis=0)
+                          if attention_mask is not None else None)
+                step, cache = make_t5_step(model, variables, enc_out_t,
+                                           mask_t, mode, cfg.max_length)
+                seqs, scores = beam_search(step, cache, b, cfg)
+                return seqs
+            step, cache = make_t5_step(model, variables, enc_out,
+                                       attention_mask, mode,
+                                       cfg.max_length)
+            seqs, _ = greedy_generate(step, cache, b, cfg, rng)
+            return seqs
+
+        return run
+
+    fn = _jit_entry(("t5_generate", model, cfg, mode), make)
+    return fn(variables, input_ids, attention_mask, inputs_embeds, rng)
 
 
 # ---------------------------------------------------------------------------
@@ -589,12 +619,6 @@ def t5_speculative_generate(model, variables, input_ids=None,
     cfg = cfg or GenerationConfig(
         decoder_start_token_id=model.cfg.decoder_start_token_id,
         pad_token_id=model.cfg.pad_token_id)
-    enc_out = model.apply(
-        variables, input_ids, inputs_embeds, attention_mask, target_mode,
-        method=model.encode)
-    b = enc_out.shape[0]
-    max_len = cfg.max_length + gamma * (
-        2 if model.cfg.kv_cache_per_row else 1) + 1
     if draft_model is not None:
         if draft_model.cfg.vocab_size != model.cfg.vocab_size:
             raise ValueError(
@@ -606,21 +630,44 @@ def t5_speculative_generate(model, variables, input_ids=None,
             # inputs_embeds live in the TARGET's d_model; a narrower
             # draft cannot consume them (blip2 wrappers pass input_ids)
             raise ValueError("heterogeneous draft needs input_ids")
-        d_enc = draft_model.apply(
-            draft_variables, input_ids, None, attention_mask, draft_mode,
-            method=draft_model.encode)
-        dstep, dcache = make_t5_step(draft_model, draft_variables, d_enc,
-                                     attention_mask, draft_mode, max_len)
-    else:
-        # the draft decodes against the TARGET encoding (one encoder
-        # pass): it only sets the accept rate, never the committed output
-        dstep, dcache = make_t5_step(model, draft_variables or variables,
-                                     enc_out, attention_mask, draft_mode,
-                                     max_len)
-    tstep, tcache = make_t5_step(model, variables, enc_out,
-                                 attention_mask, target_mode, max_len)
-    return speculative_generate(dstep, dcache, tstep, tcache, b, cfg,
-                                gamma=gamma, rng=rng)
+
+    def make():
+        def run(variables, input_ids, attention_mask, inputs_embeds,
+                draft_variables, rng):
+            enc_out = model.apply(
+                variables, input_ids, inputs_embeds, attention_mask,
+                target_mode, method=model.encode)
+            b = enc_out.shape[0]
+            max_len = cfg.max_length + gamma * (
+                2 if model.cfg.kv_cache_per_row else 1) + 1
+            if draft_model is not None:
+                d_enc = draft_model.apply(
+                    draft_variables, input_ids, None, attention_mask,
+                    draft_mode, method=draft_model.encode)
+                dstep, dcache = make_t5_step(
+                    draft_model, draft_variables, d_enc, attention_mask,
+                    draft_mode, max_len)
+            else:
+                # the draft decodes against the TARGET encoding (one
+                # encoder pass): it only sets the accept rate, never the
+                # committed output
+                dstep, dcache = make_t5_step(
+                    model, (variables if draft_variables is None
+                            else draft_variables),
+                    enc_out, attention_mask, draft_mode, max_len)
+            tstep, tcache = make_t5_step(model, variables, enc_out,
+                                         attention_mask, target_mode,
+                                         max_len)
+            return speculative_generate(dstep, dcache, tstep, tcache, b,
+                                        cfg, gamma=gamma, rng=rng)
+
+        return run
+
+    fn = _jit_entry(
+        ("t5_spec", model, cfg, draft_mode, target_mode, gamma,
+         draft_model), make)
+    return fn(variables, input_ids, attention_mask, inputs_embeds,
+              draft_variables, rng)
 
 
 def causal_speculative_generate(model, variables, prompt_input_ids,
@@ -647,18 +694,6 @@ def causal_speculative_generate(model, variables, prompt_input_ids,
     from vlm_compression_tpu.models.llama import make_causal_step
 
     cfg = cfg or GenerationConfig()
-    b = prompt_input_ids.shape[0]
-    per_row = getattr(model.cfg, "kv_cache_per_row", False)
-    max_len = cfg.max_length + gamma * (2 if per_row else 1) + 1
-    start = prompt_input_ids[:, -1].astype(jnp.int32)
-
-    def prime(m, v, mode):
-        emb = m.apply(v, prompt_input_ids[:, :-1], method=m.embed_tokens)
-        mask = (prompt_attention_mask[:, :-1].astype(jnp.int32)
-                if prompt_attention_mask is not None else None)
-        return make_causal_step(m, v, emb, mask, mode=mode,
-                                max_decode_len=max_len), emb.shape[1]
-
     if draft_model is not None:
         if draft_model.cfg.vocab_size != model.cfg.vocab_size:
             raise ValueError(
@@ -666,20 +701,48 @@ def causal_speculative_generate(model, variables, prompt_input_ids,
                 f"{draft_model.cfg.vocab_size} vs {model.cfg.vocab_size}")
         if draft_variables is None:
             raise ValueError("draft_model requires draft_variables")
-        (dstep, dcache), p = prime(draft_model, draft_variables,
-                                   draft_mode)
-    else:
-        (dstep, dcache), p = prime(model, draft_variables or variables,
-                                   draft_mode)
-    (tstep, tcache), _ = prime(model, variables, target_mode)
 
-    def chunk_start(step):
-        def f(tokens, c):
-            return step(jnp.where(tokens == -1, start[:, None], tokens), c)
-        return f
+    def make():
+        def run(variables, prompt_input_ids, prompt_attention_mask,
+                draft_variables, rng):
+            b = prompt_input_ids.shape[0]
+            per_row = getattr(model.cfg, "kv_cache_per_row", False)
+            max_len = cfg.max_length + gamma * (2 if per_row else 1) + 1
+            start = prompt_input_ids[:, -1].astype(jnp.int32)
 
-    gcfg = dataclasses.replace(cfg, decoder_start_token_id=-1)
-    seqs, lengths, stats = speculative_generate(
-        chunk_start(dstep), dcache, chunk_start(tstep), tcache, b, gcfg,
-        gamma=gamma, rng=rng, cache_offset=p)
-    return seqs.at[:, 0].set(start), lengths, stats
+            def prime(m, v, mode):
+                emb = m.apply(v, prompt_input_ids[:, :-1],
+                              method=m.embed_tokens)
+                mask = (prompt_attention_mask[:, :-1].astype(jnp.int32)
+                        if prompt_attention_mask is not None else None)
+                return make_causal_step(m, v, emb, mask, mode=mode,
+                                        max_decode_len=max_len), emb.shape[1]
+
+            if draft_model is not None:
+                (dstep, dcache), p = prime(draft_model, draft_variables,
+                                           draft_mode)
+            else:
+                (dstep, dcache), p = prime(
+                    model, (variables if draft_variables is None
+                            else draft_variables), draft_mode)
+            (tstep, tcache), _ = prime(model, variables, target_mode)
+
+            def chunk_start(step):
+                def f(tokens, c):
+                    return step(jnp.where(tokens == -1, start[:, None],
+                                          tokens), c)
+                return f
+
+            gcfg = dataclasses.replace(cfg, decoder_start_token_id=-1)
+            seqs, lengths, stats = speculative_generate(
+                chunk_start(dstep), dcache, chunk_start(tstep), tcache, b,
+                gcfg, gamma=gamma, rng=rng, cache_offset=p)
+            return seqs.at[:, 0].set(start), lengths, stats
+
+        return run
+
+    fn = _jit_entry(
+        ("causal_spec", model, cfg, gamma, target_mode, draft_mode,
+         draft_model), make)
+    return fn(variables, prompt_input_ids, prompt_attention_mask,
+              draft_variables, rng)
