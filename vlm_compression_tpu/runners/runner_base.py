@@ -230,6 +230,12 @@ class RunnerBase:
             stats_all[epoch] = stats
 
             val = self.dataloaders.get("val")
+            # honor run_cfg.valid_splits when set (reference
+            # runner_base.py:314-320: empty list = skip validation —
+            # e.g. KD retraining, whose task has no valid_step)
+            vsplits = _get(self.run_cfg, "valid_splits", None)
+            if vsplits is not None and "val" not in vsplits:
+                val = None
             if val is not None:
                 metrics = self.eval_epoch("val")
                 agg = float(metrics.get("agg_metrics", 0.0)) if metrics else 0.0

@@ -33,6 +33,15 @@ class CaptionTask(BaseTask):
         self.max_len = max_len
         self.min_len = min_len
         self.prompt = prompt
+        if tokenizer is None:
+            # config-driven setup provides no tokenizer object; use the
+            # standard loader (HF snapshot when available, offline
+            # SimpleTokenizer fallback — datasets/tokenization.py)
+            from vlm_compression_tpu.datasets.tokenization import (
+                load_tokenizer,
+            )
+
+            tokenizer = load_tokenizer()
         self.tokenizer = tokenizer
         self.qformer_tokenizer = qformer_tokenizer or tokenizer
         self.gts = gts or {}
