@@ -89,11 +89,17 @@ def _jitted_block_apply(module, side_keys=()):
     def f(bvars, x, side, stats, mode, capture, with_hessian):
         kwargs = {k: side[k] for k in side_keys}
         if capture:
-            out, aux = module.apply(bvars, x, mode=mode, mutable=["calib"],
-                                    **kwargs)
+            # The engine only consumes the STATS from a capture pass (the
+            # replay pass recomputes the output with pruned weights), so
+            # the block output is dropped INSIDE jit — XLA then DCEs the
+            # final projection matmul (fc2/wo, ≈⅓ of the block's linear
+            # FLOPs: its input is the last captured activation) and the
+            # residual tail out of the capture program.
+            _, aux = module.apply(bvars, x, mode=mode, mutable=["calib"],
+                                  **kwargs)
             captured = _collect_captured(aux["calib"])
-            return out, _fold_captured_stats(captured, stats, side,
-                                             with_hessian)
+            return None, _fold_captured_stats(captured, stats, side,
+                                              with_hessian)
         return module.apply(bvars, x, mode=mode, **kwargs), {}
 
     _BLOCK_JIT_CACHE[key] = f
@@ -271,11 +277,12 @@ def make_qformer_adapter(cfg: QFormerConfig,
             args = (side.get("self_mask"), side["image_embeds"], None,
                     cfg.num_query_tokens)
             if capture:
-                out, aux = layer.apply(bvars, x, *args, mode=mode,
-                                       mutable=["calib"])
+                # output dropped inside jit — see _jitted_block_apply
+                _, aux = layer.apply(bvars, x, *args, mode=mode,
+                                     mutable=["calib"])
                 captured = _collect_captured(aux["calib"])
-                return out, _fold_captured_stats(captured, stats, side,
-                                                 with_hessian)
+                return None, _fold_captured_stats(captured, stats, side,
+                                                  with_hessian)
             return layer.apply(bvars, x, *args, mode=mode), {}
 
         _BLOCK_JIT_CACHE[key] = f

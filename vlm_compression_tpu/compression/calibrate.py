@@ -32,6 +32,25 @@ import jax.numpy as jnp
 
 from vlm_compression_tpu.ops.stats import CalibStats, init_calib_stats
 
+# Zero CalibStats per (in_features, with_hessian), shared process-wide.
+# Stats are folded FUNCTIONALLY (update_calib_stats never mutates), so one
+# zeros pytree can seed every path/block/sweep — the per-(path, block)
+# `init_calib_stats` calls were ~7 fresh device allocations per block
+# (including a (d, d) Hessian zeros each), thousands of tiny dispatches
+# over a device tunnel per sweep.  Memory held: one (d,d) fp32 per distinct
+# width (~100 MB at d=5120), alive for the process — the sweep already
+# held the same arrays per-block transiently.
+_ZERO_STATS_CACHE: dict = {}
+
+
+def cached_zero_stats(in_features: int, with_hessian: bool) -> CalibStats:
+    key = (int(in_features), bool(with_hessian))
+    st = _ZERO_STATS_CACHE.get(key)
+    if st is None:
+        st = init_calib_stats(in_features, with_hessian=with_hessian)
+        _ZERO_STATS_CACHE[key] = st
+    return st
+
 
 # ---------------------------------------------------------------------------
 # variable-tree helpers
@@ -428,9 +447,9 @@ def calibrate_and_prune_tower(
         _dbg = _os.environ.get("VCT_DEBUG_TIMING")
         _t0 = _time.perf_counter()
         stats: Dict[Tuple[str, ...], CalibStats] = {
-            p: init_calib_stats(
+            p: cached_zero_stats(
                 int(tree_get(bparams, p)["kernel"].shape[0]),
-                with_hessian=with_hessian)
+                with_hessian)
             for p in lpaths}
         for x, side in zip(xs, sides):
             bvars = {"params": bparams, "masks": bmasks}

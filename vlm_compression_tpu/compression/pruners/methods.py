@@ -20,7 +20,6 @@ from vlm_compression_tpu.ops.masks import (
     unstructured_mask,
     wanda_metric,
 )
-from vlm_compression_tpu.ops.sparsegpt import sparsegpt_prune
 from vlm_compression_tpu.ops.stats import finalize_hessian
 
 
@@ -95,8 +94,7 @@ def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
     """OBS prune-with-update; always writes updated kernels
     (sparsegpt_pruner.py:213-215 assigns weight.data unconditionally)."""
 
-    from vlm_compression_tpu.ops.sparsegpt import (sparsegpt_prune,
-                                                   sparsegpt_prune_batched)
+    from vlm_compression_tpu.ops.sparsegpt import sparsegpt_prune_group
 
     import os
     import time
@@ -107,7 +105,9 @@ def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
         dbg = os.environ.get("VCT_DEBUG_TIMING")
         # group equal-(shape, sparsity) linears and solve them as ONE
         # vmapped OBS program (T5 q/k/v/o share a shape; q/k/v share the
-        # Hessian): ~7 serial solves per block become ~3
+        # Hessian): ~7 serial solves per block become ~3.  The whole
+        # group — stack, Hessian finalize, solve, unstack, re-layout —
+        # is ONE dispatch (sparsegpt_prune_group).
         groups = {}
         for p, k in kernels.items():
             groups.setdefault((k.shape, float(sparsities[p])),
@@ -118,29 +118,20 @@ def sparsegpt_mask_fn(prune_n: int = 0, prune_m: int = 0,
             # t0 AFTER the throttle wait so dbg lines time THIS group's
             # stack/dispatch(+sync), not a previous group's in-flight tail
             t0 = time.perf_counter()
-            if len(paths) == 1:
-                # vmap costs up to 5× on a single member (batched
-                # gathers/slices degrade); call the plain program
-                res = sparsegpt_prune(
-                    kernels[paths[0]].T, finalize_hessian(stats[paths[0]]),
-                    sp, prune_n=prune_n, prune_m=prune_m,
-                    blocksize=blocksize, percdamp=percdamp)
-                res = jax.tree.map(lambda a: a[None], res)
-            else:
-                ws = jnp.stack([kernels[p].T for p in paths])
-                hs = jnp.stack([finalize_hessian(stats[p]) for p in paths])
-                res = sparsegpt_prune_batched(
-                    ws, hs, sp, prune_n=prune_n, prune_m=prune_m,
-                    blocksize=blocksize, percdamp=percdamp)
-            enqueue(res.weight)
+            out = sparsegpt_prune_group(
+                tuple(kernels[p] for p in paths),
+                tuple(stats[p] for p in paths),
+                sp, prune_n=prune_n, prune_m=prune_m,
+                blocksize=blocksize, percdamp=percdamp)
+            enqueue(out[-1][1])
             if dbg:
-                jax.block_until_ready(res.weight)
+                jax.block_until_ready(out[-1][1])
                 print(f"      [dbg] obs G={len(paths)} {shape} "
                       f"{time.perf_counter() - t0:.2f}s", flush=True)
-            for i, p in enumerate(paths):
-                masks[p] = res.keep_mask[i].T
-                new_k[p] = res.weight[i].T
-                imps[p] = res.importance[i]
+            for (keep, w, imp), p in zip(out, paths):
+                masks[p] = keep
+                new_k[p] = w
+                imps[p] = imp
         return BlockPruneResult(masks, new_k, imps)
 
     return fn

@@ -641,12 +641,18 @@ ATTN_SHAPES = [
     # (b, h, n, m, d, causal, bias_pattern, train)
     (16, 16, 257, 257, 88, False, "none", True),       # ViT-g prefill
     (8, 32, 512, 512, 64, False, "relpos+mask", True),  # T5 enc self
-    (4, 32, 512, 512, 128, False, "full", False),      # Vicuna prefill 512
-    (2, 32, 1024, 1024, 128, False, "full", False),    # Vicuna prefill 1k
-    (1, 32, 2048, 2048, 128, False, "full", False),    # Vicuna prefill 2k
+    (4, 32, 512, 512, 128, False, "full", True),       # Vicuna prefill 512
+    (2, 32, 1024, 1024, 128, False, "full", True),     # Vicuna prefill 1k
+    (1, 32, 2048, 2048, 128, False, "full", True),     # Vicuna prefill 2k
     (4, 32, 512, 512, 80, False, "full", False),       # OPT-2.7B prefill
     (8, 32, 256, 256, 64, False, "relpos_full", True),  # T5 dec self (KD)
     (8, 32, 256, 512, 64, False, "mask", True),        # T5 dec cross (KD)
+    # causal-FLAG classes (kernel's above-diagonal block skip — a
+    # different program from the bias-encoded causality the Vicuna path
+    # uses): GPT-2 dialogue prefill at its 1k context, and the generic
+    # 2k causal class; pad-mask bias as the towers pass it
+    (4, 12, 1024, 1024, 64, True, "mask", False),      # GPT-2 prefill 1k
+    (2, 32, 2048, 2048, 128, True, "mask", False),     # causal 2k w/ bias
 ]
 
 

@@ -660,3 +660,51 @@ def sparsegpt_prune_batched(
                                      blocksize, percdamp)
 
     return jax.vmap(one)(weights_um, hessians)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("prune_n", "prune_m", "blocksize"))
+def sparsegpt_prune_group(
+    kernels_io,                   # tuple of (in, units) Flax-layout kernels
+    stats,                        # tuple of matching CalibStats
+    sparsity,
+    prune_n: int = 0,
+    prune_m: int = 0,
+    blocksize: int = 128,
+    percdamp: float = 0.01,
+):
+    """One-dispatch OBS solve for a whole equal-shape group.
+
+    The per-group host-side preparation (a transpose per kernel, a
+    ``finalize_hessian`` per stat, two stacks, then a transpose per output
+    mask and per updated kernel) used to run as ~4·G+3 separate device
+    dispatches per group — over a device tunnel that residue was a
+    measurable share of the OBS phase (BENCH_NOTES "dispatch/stack
+    residue").  Moving it inside ONE jitted program collapses the group to
+    a single dispatch and lets XLA fuse the layout changes into the solve.
+    Numerics are unchanged: the same ops run in the same order at the same
+    pinned precision.
+
+    Returns a tuple of ``(keep_mask_io, new_kernel_io, importance)`` per
+    member, already back in Flax (in, units) layout.  G == 1 calls the
+    plain impl (vmap on a single member measured up to 5× slower —
+    batched gathers/slices degrade).
+    """
+    from vlm_compression_tpu.ops.stats import finalize_hessian
+
+    if len(kernels_io) == 1:
+        res = _sparsegpt_prune_impl(
+            kernels_io[0].T, finalize_hessian(stats[0]), sparsity,
+            prune_n, prune_m, blocksize, percdamp)
+        return ((res.keep_mask.T, res.weight.T, res.importance),)
+    ws = jnp.stack([k.T for k in kernels_io])
+    hs = jnp.stack([finalize_hessian(s) for s in stats])
+
+    def one(w, h):
+        return _sparsegpt_prune_impl(w, h, sparsity, prune_n, prune_m,
+                                     blocksize, percdamp)
+
+    res = jax.vmap(one)(ws, hs)
+    return tuple(
+        (res.keep_mask[i].T, res.weight[i].T, res.importance[i])
+        for i in range(len(kernels_io)))
