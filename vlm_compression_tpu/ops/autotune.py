@@ -102,15 +102,31 @@ DEFAULT_DECISIONS: Dict[str, dict] = {
         "backend": "pallas", "tiles": [256, 512],
         "pallas_us": 3745.4, "xla_us": 3794.0,
         "pallas_train_us": 6390.6, "xla_train_us": 7407.8},
+    # Vicuna prefill classes re-measured train-gated in round 5: the
+    # Pallas backward WINS too (1.21× @512 → 1.51× @2k), so the flag is
+    # safe for RESSA retraining shapes, not just eval prefill
     "attn:4,32,512,512,128,bfloat16,f": {
         "backend": "pallas", "tiles": [128, 512],
-        "pallas_us": 3000.9, "xla_us": 4707.5},
+        "pallas_us": 2923.3, "xla_us": 3732.8,
+        "pallas_train_us": 4386.9, "xla_train_us": 5328.6},
     "attn:2,32,1024,1024,128,bfloat16,f": {
         "backend": "pallas", "tiles": [256, 512],
-        "pallas_us": 3757.4, "xla_us": 4779.4},
+        "pallas_us": 3344.4, "xla_us": 4926.9,
+        "pallas_train_us": 4688.8, "xla_train_us": 6391.5},
     "attn:1,32,2048,2048,128,bfloat16,f": {
         "backend": "pallas", "tiles": [256, 512],
-        "pallas_us": 4444.2, "xla_us": 6954.4},
+        "pallas_us": 4102.9, "xla_us": 6708.3,
+        "pallas_train_us": 6704.1, "xla_train_us": 10098.4},
+    # causal-FLAG classes (above-diagonal block skip; round 5): the skip
+    # pays off quadratically with length — 1.07× at GPT-2's 1k context,
+    # 2.20× at the generic 2k class (XLA materializes the full n×m
+    # probability tensor either way; the kernel skips half its tiles)
+    "attn:4,12,1024,1024,64,bfloat16,c": {
+        "backend": "pallas", "tiles": [256, 512],
+        "pallas_us": 2997.2, "xla_us": 3193.3},
+    "attn:2,32,2048,2048,128,bfloat16,c": {
+        "backend": "pallas", "tiles": [256, 512],
+        "pallas_us": 5015.0, "xla_us": 11054.0},
     # OPT-2.7B prefill measured a 0.5% "win" — inside the tunnel's ±15%
     # variance band, so the doctrine keeps the reference
     "attn:4,32,512,512,80,bfloat16,f": {
