@@ -232,7 +232,8 @@ def gptq_fn(prune_n: int = 0, prune_m: int = 0, bits: int = 4,
     from vlm_compression_tpu.ops.awq import (apply_awq, awq_search,
                                              unscale_weight)
     from vlm_compression_tpu.ops.gptq import (gptq_quantize,
-                                              gptq_quantize_batched)
+                                              gptq_quantize_batched,
+                                              gptq_quantize_group)
 
     _throttle, _enqueue = _make_throttle()
 
@@ -279,20 +280,14 @@ def gptq_fn(prune_n: int = 0, prune_m: int = 0, bits: int = 4,
                     imps[p] = jnp.mean(res.losses[i])
                 continue
             _throttle()
-            if len(paths) == 1:
-                res = gptq_quantize(
-                    kernels[paths[0]].T,
-                    finalize_hessian(stats[paths[0]]), **kw)
-                res = jax.tree.map(lambda a: a[None], res)
-            else:
-                ws = jnp.stack([kernels[p].T for p in paths])
-                hs = jnp.stack([finalize_hessian(stats[p]) for p in paths])
-                res = gptq_quantize_batched(ws, hs, **kw)
-            _enqueue(res.weight)
-            for i, p in enumerate(paths):
-                masks[p] = res.keep_mask[i].T
-                new_k[p] = res.weight[i].T
-                imps[p] = jnp.mean(res.losses[i])
+            out = gptq_quantize_group(
+                tuple(kernels[p] for p in paths),
+                tuple(stats[p] for p in paths), **kw)
+            _enqueue(out[-1][1])
+            for (keep, w, imp), p in zip(out, paths):
+                masks[p] = keep
+                new_k[p] = w
+                imps[p] = imp
         return BlockPruneResult(masks, new_k, imps)
 
     return fn

@@ -308,6 +308,47 @@ def gptq_quantize_batched(
     return jax.vmap(fn)(weights_um, hessians)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "groupsize", "sym", "act_order", "prune_n",
+                     "prune_m", "blocksize"),
+)
+def gptq_quantize_group(
+    kernels_io,                # tuple of (in, units) Flax-layout kernels
+    stats,                     # tuple of matching CalibStats
+    bits: int = 4,
+    groupsize: int = 128,
+    sym: bool = True,
+    act_order: bool = False,
+    sparsity=0.0,
+    prune_n: int = 0,
+    prune_m: int = 0,
+    blocksize: int = 128,
+    percdamp: float = 0.01,
+):
+    """One-dispatch GPTQ for an equal-shape group: transpose, Hessian
+    finalize, stack, (vmapped) sweep, unstack and re-layout all inside a
+    single jitted program — the same dispatch-residue collapse as
+    ``sparsegpt_prune_group`` (see BENCH_NOTES "Round-5 residue levers").
+    Returns ``(keep_mask_io, fake_quant_kernel_io, mean_loss)`` per
+    member; the full GPTQResult (codes/scales/perm for int4 bridging)
+    stays available via ``gptq_quantize``/``gptq_quantize_batched``."""
+    from vlm_compression_tpu.ops.stats import finalize_hessian
+
+    kw = dict(bits=bits, groupsize=groupsize, sym=sym, act_order=act_order,
+              sparsity=sparsity, prune_n=prune_n, prune_m=prune_m,
+              blocksize=blocksize, percdamp=percdamp)
+    if len(kernels_io) == 1:
+        res = _gptq_impl(kernels_io[0].T, finalize_hessian(stats[0]), **kw)
+        return ((res.keep_mask.T, res.weight.T, jnp.mean(res.losses)),)
+    ws = jnp.stack([k.T for k in kernels_io])
+    hs = jnp.stack([finalize_hessian(s) for s in stats])
+    res = jax.vmap(functools.partial(_gptq_impl, **kw))(ws, hs)
+    return tuple(
+        (res.keep_mask[i].T, res.weight[i].T, jnp.mean(res.losses[i]))
+        for i in range(len(kernels_io)))
+
+
 def gptq_dequantize(codes: jnp.ndarray, scale: jnp.ndarray,
                     zero: jnp.ndarray, perm: jnp.ndarray,
                     keep_mask: Optional[jnp.ndarray] = None,
